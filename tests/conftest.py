@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device virtual CPU mesh so pjit/sharding
+paths are exercised without TPU hardware (standard JAX testing pattern)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synthetic_dataset(tmp_path_factory):
+    from multimodal_plankton_recognition_tpu.data.synthetic import (
+        make_synthetic_dataset,
+    )
+    root = tmp_path_factory.mktemp("plankton_data")
+    split_dir = make_synthetic_dataset(root, n_classes=3, n_per_class=8, seed=0)
+    return split_dir
