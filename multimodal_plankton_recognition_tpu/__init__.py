@@ -22,3 +22,22 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache so repeated CLI invocations
+    (fold sweeps, encode-after-train) skip XLA recompilation. Called by the
+    train/encode/benchmark drivers; safe to call multiple times."""
+    import os
+
+    import jax
+
+    path = path or os.environ.get(
+        "PLANKTON_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax_plankton"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization; never fail the run
+        pass

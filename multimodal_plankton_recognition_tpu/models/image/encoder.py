@@ -1,0 +1,54 @@
+"""Image encoder: backbone + optional image-shape metadata fusion.
+
+Mirrors the reference's ``ImageEncoder`` (reference: src/image_encoder.py:8-29):
+a pooled backbone feature with the original (height, width) / 224 appended as
+two metadata dims, followed by dropout. ``dim_out = num_features + 2*metadata``.
+
+Fixes a reference landmine: the reference hard-codes ``pretrained=True`` and
+ignores its own flag (src/image_encoder.py:17). Here ``pretrained`` weights
+are loaded from an npz checkpoint (``pretrained_path``) by the training
+driver when requested; the module itself is init-from-scratch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .registry import create_backbone
+
+
+class ImageEncoder(nn.Module):
+    name: str = "efficientnet_b0"
+    in_chans: int = 1
+    dropout: float = 0.1
+    metadata: bool = True
+    num_classes: int = 0          # accepted for card parity; features only
+    pretrained: bool = False      # handled by the driver (npz load)
+    pretrained_path: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.backbone = create_backbone(self.name, in_chans=self.in_chans,
+                                        dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+
+    @property
+    def dim_out(self) -> int:
+        return create_backbone(self.name, in_chans=self.in_chans,
+                               dtype=self.dtype).num_features \
+            + 2 * int(self.metadata)
+
+    def __call__(self, image: jnp.ndarray,
+                 image_shape: Optional[jnp.ndarray] = None,
+                 train: bool = False, **kwargs) -> jnp.ndarray:
+        x = self.backbone(image, train=train)
+        if self.metadata:
+            # original (H, W) scaled by the model input resolution
+            # (reference: src/image_encoder.py:26-27 divides by image.shape[2])
+            md = image_shape.astype(x.dtype) / image.shape[1]
+            x = jnp.concatenate([x, md.reshape(x.shape[0], -1)], axis=1)
+        x = self.drop(x, deterministic=not train)
+        return x

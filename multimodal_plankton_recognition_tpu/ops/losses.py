@@ -1,0 +1,159 @@
+"""Coordination (cross-modal alignment) losses as pure functions.
+
+Functional redesign of the reference's loss modules
+(reference: src/coordination.py): the learnable scalars (``logit_scale``,
+``bias``, ArcFace weights) live in the task model's parameter tree (see
+models/multi.py CoordinationHead) and are passed in explicitly, so every loss
+here is a pure jittable function f(embeddings, params) -> scalar.
+
+All losses support the reference's **bucketed** negatives: the batch is
+reshaped to (buckets, bucket_size, D) and each bucket forms an independent
+contrastive group (reference: src/coordination.py:29-47). ``buckets`` is a
+static Python int (XLA needs static shapes). For TPU-native global negatives
+across the data mesh axis, see parallel/contrastive.py.
+
+Fixed reference landmines:
+* ``RankLoss.forward`` does not accept the ``buckets`` kwarg that
+  ``training_step`` always forwards (reference: src/coordination.py:123 vs
+  src/model.py:96-98) — selecting ``method: rank`` crashes train_multi. Here
+  ``rank_loss`` accepts ``buckets`` (computed per bucket; buckets=1
+  reproduces the reference formula).
+* ``ArcFace`` hard-codes ``device='cuda'`` (src/coordination.py:189); pure
+  functions are device-agnostic.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1,
+                 eps: float = 1e-12) -> jnp.ndarray:
+    """torch.nn.functional.normalize semantics (norm clamped below at eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def _bucketize(image_emb: jnp.ndarray, profile_emb: jnp.ndarray,
+               buckets: int):
+    b, d = image_emb.shape
+    assert b % buckets == 0, "Batch size must be divisible by number of buckets!"
+    bs = b // buckets
+    return (image_emb.reshape(buckets, bs, d),
+            profile_emb.reshape(buckets, bs, d), bs)
+
+
+def _softmax_xent(logits: jnp.ndarray) -> jnp.ndarray:
+    """Mean cross-entropy of (N, N) logits against diagonal targets."""
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.diagonal(logprobs, axis1=-2, axis2=-1))
+
+
+def clip_loss(image_emb: jnp.ndarray, profile_emb: jnp.ndarray,
+              logit_scale: jnp.ndarray, buckets: int = 1) -> jnp.ndarray:
+    """Bucketed symmetric InfoNCE (reference: src/coordination.py:17-47).
+
+    Per bucket: normalize both embeddings, logits = (I @ P^T) * exp(scale),
+    symmetric cross-entropy against the diagonal, averaged over buckets.
+    """
+    i = l2_normalize(image_emb)
+    p = l2_normalize(profile_emb)
+    i, p, bs = _bucketize(i, p, buckets)
+    logits = jnp.einsum("bnd,bmd->bnm", i, p) * jnp.exp(logit_scale)
+    loss_rows = jax.vmap(_softmax_xent)(logits).mean()
+    loss_cols = jax.vmap(_softmax_xent)(logits.transpose(0, 2, 1)).mean()
+    return (loss_rows + loss_cols) / 2
+
+
+def mse_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((a - b) ** 2)
+
+
+def clipplus_loss(image_emb, profile_emb, logit_scale, buckets: int = 1,
+                  beta: float = 0.25) -> jnp.ndarray:
+    """CLIP + beta * MSE embedding-coupling (reference: src/coordination.py:50-64)."""
+    return clip_loss(image_emb, profile_emb, logit_scale, buckets) \
+        + beta * mse_loss(image_emb, profile_emb)
+
+
+def siglip_loss(image_emb: jnp.ndarray, profile_emb: jnp.ndarray,
+                logit_scale: jnp.ndarray, logit_bias: jnp.ndarray,
+                buckets: int = 1) -> jnp.ndarray:
+    """Bucketed pairwise sigmoid loss (reference: src/coordination.py:67-95).
+
+    logits = sim * exp(scale) + bias; labels +1 on the diagonal, -1 off;
+    loss = -sum logsigmoid(labels * logits) / bucket_size, mean over buckets.
+    """
+    i = l2_normalize(image_emb)
+    p = l2_normalize(profile_emb)
+    i, p, bs = _bucketize(i, p, buckets)
+    logits = jnp.einsum("bnd,bmd->bnm", i, p) * jnp.exp(logit_scale) + logit_bias
+    labels = 2.0 * jnp.eye(bs, dtype=logits.dtype) - 1.0
+    loss = -jax.nn.log_sigmoid(labels[None] * logits).sum(axis=(1, 2)) / bs
+    return loss.mean()
+
+
+def siglipplus_loss(image_emb, profile_emb, logit_scale, logit_bias,
+                    buckets: int = 1, beta: float = 0.25) -> jnp.ndarray:
+    return siglip_loss(image_emb, profile_emb, logit_scale, logit_bias,
+                       buckets) + beta * mse_loss(image_emb, profile_emb)
+
+
+def rank_loss(image_emb: jnp.ndarray, profile_emb: jnp.ndarray,
+              margin: float = 0.25, buckets: int = 1) -> jnp.ndarray:
+    """Margin hinge on similarity row/col sums
+    (reference: src/coordination.py:115-135), generalized to buckets."""
+    i = l2_normalize(image_emb)
+    p = l2_normalize(profile_emb)
+    i, p, bs = _bucketize(i, p, buckets)
+    logits = jnp.einsum("bnd,bmd->bnm", i, p)
+    sign = 1.0 - 2.0 * jnp.eye(bs, dtype=logits.dtype)  # -1 diag, +1 off
+    logits = logits * sign[None]
+    loss_1 = jax.nn.relu(margin + logits.sum(axis=1)).mean()
+    loss_2 = jax.nn.relu(margin + logits.sum(axis=2)).mean()
+    return (loss_1 + loss_2) / 2
+
+
+def distance_loss(image_emb: jnp.ndarray,
+                  profile_emb: jnp.ndarray) -> jnp.ndarray:
+    """Plain MSE between modality embeddings (reference: src/coordination.py:7-14)."""
+    return mse_loss(image_emb, profile_emb)
+
+
+def zero_loss(*args, **kwargs) -> jnp.ndarray:
+    """Constant-zero loss (reference: src/coordination.py:138-142)."""
+    return jnp.zeros(())
+
+
+def arcface_loss(image_emb: jnp.ndarray, profile_emb: jnp.ndarray,
+                 label: jnp.ndarray, weight: jnp.ndarray,
+                 s: float = 30.0, m: float = 0.50,
+                 easy_margin: bool = False) -> jnp.ndarray:
+    """Additive-angular-margin classifier over both modality embeddings
+    (reference: src/coordination.py:145-196). ``weight``: (n_classes, dim)."""
+    emb = jnp.concatenate([image_emb, profile_emb], axis=0)
+    label = jnp.tile(label, (2,))
+    cosine = l2_normalize(emb) @ l2_normalize(weight, axis=-1).T
+    sine = jnp.sqrt(jnp.clip(1.0 - cosine ** 2, 0.0, 1.0))
+    cos_m, sin_m = math.cos(m), math.sin(m)
+    phi = cosine * cos_m - sine * sin_m
+    if easy_margin:
+        phi = jnp.where(cosine > 0, phi, cosine)
+    else:
+        th = math.cos(math.pi - m)
+        mm = math.sin(math.pi - m) * m
+        phi = jnp.where(cosine > th, phi, cosine - mm)
+    one_hot = jax.nn.one_hot(label, weight.shape[0], dtype=cosine.dtype)
+    output = (one_hot * phi + (1.0 - one_hot) * cosine) * s
+    logprobs = jax.nn.log_softmax(output, axis=-1)
+    return -jnp.mean(jnp.sum(one_hot * logprobs, axis=-1))
+
+
+def cross_entropy_loss(logits: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross-entropy with integer labels (supervised heads)."""
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logprobs, label[:, None], axis=-1))

@@ -1,0 +1,15 @@
+from .state import TrainState, create_train_state
+from .optim import make_optimizer
+from .loop import (
+    make_multi_steps, make_classifier_steps, fit, Fitter,
+)
+from .checkpoint import CheckpointManager, load_from_checkpoint
+from .early_stopping import EarlyStopping
+from .logging import MetricsWriter
+
+__all__ = [
+    "TrainState", "create_train_state", "make_optimizer",
+    "make_multi_steps", "make_classifier_steps", "fit", "Fitter",
+    "CheckpointManager", "load_from_checkpoint", "EarlyStopping",
+    "MetricsWriter",
+]

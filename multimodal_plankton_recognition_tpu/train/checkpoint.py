@@ -1,0 +1,120 @@
+"""Orbax checkpointing with top-k retention + one-call restore.
+
+Reproduces the reference's Lightning ``ModelCheckpoint`` behavior
+(reference: scripts/train_multi.py:89-94: keep ``save_top_k`` checkpoints by
+the monitored metric) and its ``load_from_checkpoint`` one-call UX
+(reference: experiments.ipynb cell 4): the model card and class vocabulary
+are stored as JSON metadata next to the checkpoints, so
+``load_from_checkpoint(dir)`` rebuilds the model and restores the best step
+without external state.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config import ModelCard
+
+METADATA_FILE = "plankton_metadata.json"
+
+
+class CheckpointManager:
+    def __init__(self, directory: Path | str, monitor: str = "valid_loss",
+                 mode: str = "min", save_top_k: int = 1,
+                 metadata: Optional[Dict[str, Any]] = None) -> None:
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max(1, save_top_k),
+            best_fn=(lambda m: m[monitor]) if save_top_k > 0 else None,
+            best_mode=mode,
+        )
+        self._mngr = ocp.CheckpointManager(self.directory, options=options)
+        if metadata is not None:
+            with open(self.directory / METADATA_FILE, "w") as f:
+                json.dump(metadata, f, indent=2, default=str)
+
+    def save(self, epoch: int, state, metrics: Dict[str, float]) -> bool:
+        """Save iff the monitored metric was produced this epoch and is
+        finite (orbax best_fn cannot rank NaN)."""
+        value = metrics.get(self.monitor)
+        if value is None or not np.isfinite(value):
+            return False
+        payload = {
+            "step": int(state.step),
+            "params": state.params,
+            "batch_stats": state.batch_stats or {},
+            "opt_state": state.opt_state,
+        }
+        return self._mngr.save(
+            epoch, args=ocp.args.StandardSave(payload),
+            metrics={self.monitor: float(value)})
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def best_step(self) -> Optional[int]:
+        return self._mngr.best_step()
+
+    def restore(self, step: Optional[int] = None,
+                template: Optional[Any] = None) -> Dict[str, Any]:
+        step = step if step is not None else self._mngr.best_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints in {self.directory}")
+        if template is not None:
+            return self._mngr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        return self._mngr.restore(step)
+
+    def close(self) -> None:
+        self._mngr.close()
+
+
+def read_metadata(directory: Path | str) -> Dict[str, Any]:
+    with open(Path(directory) / METADATA_FILE) as f:
+        return json.load(f)
+
+
+def load_from_checkpoint(directory: Path | str,
+                         step: Optional[int] = None
+                         ) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
+    """Rebuild the model from stored metadata and restore parameters.
+
+    Returns ``(model, variables, metadata)`` where ``variables`` has
+    ``params`` (+ ``batch_stats`` when present) ready for ``model.apply``.
+    """
+    from ..models import build as build_mod
+
+    directory = Path(directory).resolve()
+    meta = read_metadata(directory)
+    card = ModelCard.from_dict(meta["card"])
+    kind = meta.get("kind", "multi")
+    if kind == "multi":
+        model = build_mod.build_multi_model(card)
+    elif kind == "image":
+        model = build_mod.build_image_classifier(card, meta["class_names"])
+    elif kind == "profile":
+        model = build_mod.build_profile_classifier(card, meta["class_names"])
+    else:  # pragma: no cover
+        raise ValueError(f"Unknown checkpoint kind {kind!r}")
+
+    mngr = ocp.CheckpointManager(directory)
+    step = step if step is not None else mngr.best_step()
+    if step is None:
+        steps = mngr.all_steps()
+        if not steps:
+            raise FileNotFoundError(f"No checkpoints in {directory}")
+        step = max(steps)
+    restored = mngr.restore(step)
+    mngr.close()
+    variables = {"params": restored["params"]}
+    if restored.get("batch_stats"):
+        variables["batch_stats"] = restored["batch_stats"]
+    return model, variables, meta

@@ -1,0 +1,239 @@
+"""End-to-end training drivers behind the CLI scripts.
+
+One function per reference entry point (scripts/train_multi.py,
+scripts/train_image.py, scripts/train_profile.py), preserving the file
+contracts: ``<dataset>/train.csv`` + ``<dataset>/test.csv`` in,
+``<logdir>/<card>_<dataset>/version_k/`` TensorBoard events + checkpoints
+out. The hot path is fully jitted; on a multi-chip TPU a ``(data, model)``
+mesh is created automatically and batches are sharded along ``data``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import enable_compilation_cache
+from ..config import ModelCard, load_card
+from ..data import (
+    MultiSet, ImageTransformTrain, ImageTransformTest, ProfileTransformTrain,
+    ProfileTransformTest, PairAugmentation, Loader, tokenize,
+)
+from ..data.transforms import ImageTransforms, ProfileTransform
+from ..data.pipeline import (
+    multi_collate_fn, image_collate_fn, profile_collate_fn,
+)
+from ..models import build
+from ..parallel import create_mesh, shard_batch, replicated_sharding
+from ..parallel.mesh import replicate_state
+from ..utils import LabelVocab
+from .optim import make_optimizer
+from .state import create_train_state
+from .loop import make_multi_steps, make_classifier_steps, Fitter
+from .checkpoint import CheckpointManager
+from .early_stopping import EarlyStopping
+from .logging import MetricsWriter
+from .metrics import confusion_matrix, render_confusion_matrix
+
+
+def _run_name(card_path: Path, data_path: Path) -> str:
+    """``<card-stem>_<last-two-path-parts>`` (reference: train_multi.py:86)."""
+    parts = [p for p in data_path.parts if p not in (".", "..", "/")]
+    return card_path.stem + "_" + "_".join(parts[-2:])
+
+
+def _setup_mesh(card: ModelCard):
+    """Create the device mesh and state/batch placement functions.
+
+    The data-axis size defaults to the largest divisor of the batch size
+    that fits the available chips (all of them in the common bs=64 / v5e-8
+    case); an explicit ``mesh:`` card entry overrides and must divide bs.
+    """
+    import math
+
+    n_devices = len(jax.devices())
+    n_model = (card.mesh or {}).get("model", 1)
+    n_data = (card.mesh or {}).get("data")
+    if n_data is None:
+        n_data = math.gcd(card.bs, n_devices // n_model)
+    mesh = create_mesh(n_data=n_data, n_model=n_model)
+    if card.bs % n_data != 0:
+        raise ValueError(
+            f"Batch size {card.bs} not divisible by data-axis size {n_data}")
+    if n_data * n_model > 1:
+        put_fn = lambda b: shard_batch(
+            {k: jnp.asarray(v) for k, v in b.items()}, mesh)
+        place_state = lambda s: replicate_state(s, mesh)
+    else:
+        put_fn = lambda b: jax.tree.map(jnp.asarray, b)
+        place_state = lambda s: s
+    return mesh, put_fn, place_state
+
+
+def _profile_kind(card: ModelCard) -> str:
+    return (card.profile_encoder_args or {}).get("kind", "cnn")
+
+
+def train_multi(dataset: str | Path, modelcard: str | Path,
+                logdir: str | Path = "logs",
+                max_epochs: Optional[int] = None) -> dict:
+    """Contrastive cross-modal pretraining (reference: scripts/train_multi.py)."""
+    enable_compilation_cache()
+    card = load_card(modelcard)
+    if max_epochs is not None:
+        card.trainer_args.max_epochs = max_epochs
+    data_path = Path(dataset)
+    ts = card.target_size
+
+    train_set = MultiSet(data_path / "train.csv",
+                         ImageTransformTrain(ts), ProfileTransformTrain(ts),
+                         PairAugmentation())
+    test_set = MultiSet(data_path / "test.csv",
+                        ImageTransformTest(ts), ProfileTransformTest(ts))
+
+    kind = _profile_kind(card)
+    pad_to = ts + 1 if kind == "transformer" else ts
+    tok = tokenize.get_tokenizer(kind, ts, pad_to=pad_to)
+    collate = multi_collate_fn(tok)
+    train_loader = Loader(train_set, card.bs, collate, shuffle=True,
+                          drop_last=True, num_workers=card.num_workers,
+                          seed=card.seed)
+    valid_loader = Loader(test_set, card.bs, collate, shuffle=True,
+                          drop_last=True, num_workers=card.num_workers,
+                          seed=card.seed + 1)
+
+    model = build.build_multi_model(card)
+    tx = make_optimizer(card.optim_args,
+                        card.trainer_args.accumulate_grad_batches)
+    mesh, put_fn, place_state = _setup_mesh(card)
+
+    sample = put_fn(next(iter(train_loader)))
+    state = create_train_state(model, jax.random.key(card.seed), sample, tx,
+                               init_kwargs={"buckets": card.buckets})
+    state = place_state(state)
+
+    # global negatives: the whole (sharded) batch is one contrastive group
+    negatives = (card.coordination_args or {}).get("negatives", "bucketed")
+    buckets = 1 if negatives == "global" else card.buckets
+    train_step, eval_step = make_multi_steps(model, tx, buckets)
+
+    name = _run_name(Path(modelcard), data_path)
+    writer = MetricsWriter(logdir, name=name)
+    ckpt = CheckpointManager(
+        writer.logdir / "checkpoints", monitor="valid_loss", mode="min",
+        save_top_k=card.save_top_k,
+        metadata={"card": card.to_dict(), "kind": "multi",
+                  "class_names": [str(c) for c in train_set.class_names]})
+    stopper = EarlyStopping("valid_loss", "min", card.patience)
+    fitter = Fitter(train_step, eval_step, writer=writer, checkpointer=ckpt,
+                    early_stopping=stopper,
+                    min_epochs=card.trainer_args.min_epochs,
+                    max_epochs=card.trainer_args.max_epochs,
+                    check_val_every_n_epoch=card.trainer_args.check_val_every_n_epoch,
+                    seed=card.seed, put_fn=put_fn)
+    state = fitter.fit(state, train_loader, valid_loader)
+    writer.close()
+    return {"history": fitter.history, "logdir": str(writer.logdir),
+            "best_step": ckpt.best_step(), "state": state}
+
+
+def _train_classifier(kind: str, dataset: str | Path,
+                      modelcard: str | Path, logdir: str | Path = "logs",
+                      max_epochs: Optional[int] = None) -> dict:
+    enable_compilation_cache()
+    card = load_card(modelcard)
+    if max_epochs is not None:
+        card.trainer_args.max_epochs = max_epochs
+    data_path = Path(dataset)
+
+    # reference uses the raw canonicalizing transforms for the supervised
+    # baselines (reference: scripts/train_image.py:37-38)
+    image_tf = ImageTransforms(target_size=card.target_size)
+    profile_tf = ProfileTransform(max_len=card.max_len if kind == "profile"
+                                  else 0)
+    train_set = MultiSet(data_path / "train.csv", image_tf, profile_tf,
+                         PairAugmentation())
+    test_set = MultiSet(data_path / "test.csv", image_tf, profile_tf)
+
+    vocab = LabelVocab(train_set.class_names)
+    if kind == "image":
+        collate = image_collate_fn(vocab)
+        model = build.build_image_classifier(card, vocab.to_list())
+    else:
+        enc_kind = _profile_kind(card)
+        max_len = card.max_len or 256
+        pad_to = max_len + 1 if enc_kind == "transformer" else max_len
+        tok = tokenize.get_tokenizer(enc_kind, max_len, pad_to=pad_to)
+        collate = profile_collate_fn(tok, vocab)
+        model = build.build_profile_classifier(card, vocab.to_list())
+
+    train_loader = Loader(train_set, card.bs, collate, shuffle=True,
+                          drop_last=True, num_workers=card.num_workers,
+                          seed=card.seed)
+    test_loader = Loader(test_set, card.bs, collate, shuffle=False,
+                         drop_last=False, num_workers=card.num_workers,
+                         seed=card.seed + 1)
+
+    tx = make_optimizer(card.optim_args,
+                        card.trainer_args.accumulate_grad_batches)
+    mesh, put_fn, place_state = _setup_mesh(card)
+    sample = put_fn(next(iter(train_loader)))
+    inputs = {k: v for k, v in sample.items() if k != "label"}
+    state = create_train_state(model, jax.random.key(card.seed), inputs, tx)
+    state = place_state(state)
+    train_step, eval_step = make_classifier_steps(model, tx)
+
+    name = _run_name(Path(modelcard), data_path)
+    writer = MetricsWriter(logdir, name=name)
+    ckpt = CheckpointManager(
+        writer.logdir / "checkpoints", monitor="valid_acc", mode="max",
+        save_top_k=card.save_top_k,
+        metadata={"card": card.to_dict(), "kind": kind,
+                  "class_names": vocab.to_list()})
+    stopper = EarlyStopping("valid_loss", "min", card.patience)
+    fitter = Fitter(train_step, eval_step, writer=writer, checkpointer=ckpt,
+                    early_stopping=stopper,
+                    min_epochs=card.trainer_args.min_epochs,
+                    max_epochs=card.trainer_args.max_epochs,
+                    seed=card.seed, put_fn=put_fn)
+    state = fitter.fit(state, train_loader, test_loader)
+
+    # test with the best checkpoint (reference: trainer.test(ckpt_path='best'),
+    # scripts/train_image.py:97) + confusion-matrix TensorBoard image
+    best = ckpt.best_step()
+    if best is not None:
+        restored = ckpt.restore(best, template={
+            "step": 0, "params": state.params,
+            "batch_stats": state.batch_stats or {},
+            "opt_state": state.opt_state})
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+    preds, trues = [], []
+    for batch in test_loader:
+        out = eval_step(state, put_fn(batch))
+        preds.append(np.asarray(out["pred"]))
+        trues.append(np.asarray(out["label"]))
+    pred = np.concatenate(preds)
+    true = np.concatenate(trues)
+    test_acc = float((pred == true).mean())
+    cm = confusion_matrix(pred, true, len(vocab))
+    writer.log({"test_acc": test_acc}, step=0)
+    writer.log_image("test_cm", render_confusion_matrix(cm, vocab.to_list()))
+    writer.close()
+    return {"history": fitter.history, "logdir": str(writer.logdir),
+            "best_step": best, "test_acc": test_acc, "state": state}
+
+
+def train_image(dataset, modelcard, logdir="logs", max_epochs=None) -> dict:
+    """Supervised image classifier (reference: scripts/train_image.py)."""
+    return _train_classifier("image", dataset, modelcard, logdir, max_epochs)
+
+
+def train_profile(dataset, modelcard, logdir="logs", max_epochs=None) -> dict:
+    """Supervised profile classifier (reference: scripts/train_profile.py)."""
+    return _train_classifier("profile", dataset, modelcard, logdir, max_epochs)

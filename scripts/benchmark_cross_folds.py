@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Cross-modal 8-setup retrieval benchmark over train/test folds
+(reference: scripts/benchmark_cross_folds.py; same CLI and result-pickle
+schema)."""
+
+import argparse
+import pickle
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from multimodal_plankton_recognition_tpu.retrieval.benchmark import run_suite
+
+N = (2, 4, 8, 12, 16)
+K = (1, 3, 5, 7, 9)
+REPEATS = 10
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-e", "--embeddings",
+                        help="Location to pickled embeddings.")
+    parser.add_argument("-o", "--output", help="Path to pickled result data")
+    parser.add_argument("--repeats", type=int, default=REPEATS)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    with open(args.embeddings, "rb") as buf:
+        embeddings = pickle.load(buf)
+
+    results = run_suite(embeddings, mode="cross_folds", N=N, K=K,
+                        repeats=args.repeats, seed=args.seed, progress=True)
+    with open(args.output, "wb") as buf:
+        pickle.dump(results, buf)
+
+
+if __name__ == "__main__":
+    main()

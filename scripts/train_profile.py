@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""Supervised profile-classifier CLI (reference: scripts/train_profile.py)."""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from multimodal_plankton_recognition_tpu.train.drivers import train_profile
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-d", "--dataset",
+                        help="Location to dataset tables.", required=True)
+    parser.add_argument("-m", "--modelcard",
+                        help="Path to model card (yaml file).", required=True)
+    parser.add_argument("-l", "--logdir", default="logs")
+    parser.add_argument("--max-epochs", type=int, default=None)
+    args = parser.parse_args()
+
+    result = train_profile(args.dataset, args.modelcard, args.logdir,
+                           max_epochs=args.max_epochs)
+    print(f"Test accuracy: {result['test_acc']:.4f}; "
+          f"logs in {result['logdir']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -3,11 +3,18 @@ paths are exercised without TPU hardware (standard JAX testing pattern)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin prepends itself to jax_platforms from sitecustomize,
+# overriding the env var; force CPU before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 from pathlib import Path  # noqa: E402

@@ -1,0 +1,191 @@
+"""Shape/dtype tests for all encoders and task models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_plankton_recognition_tpu.models.image.registry import (
+    IMAGE_BACKBONES, create_backbone,
+)
+from multimodal_plankton_recognition_tpu.models.image.encoder import ImageEncoder
+from multimodal_plankton_recognition_tpu.models.profile import (
+    ProfileTransformer, ProfileLSTM, ProfileCNN, create_profile_encoder,
+)
+from multimodal_plankton_recognition_tpu.models import (
+    MultiModel, ImageClassifier, ProfileClassifier,
+)
+
+EXPECTED_FEATURES = {
+    "vit_tiny_patch16_224": 192,
+    "vit_small_patch16_224": 384,
+    "vit_small_patch32_224": 384,
+    "resnet18": 512,
+    "resnet50": 2048,
+    "efficientnet_b0": 1280,
+    "efficientnet_b1": 1280,
+    "densenet121": 1024,
+    "densenet169": 1664,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_FEATURES))
+def test_backbone_shapes(name):
+    model = create_backbone(name, in_chans=1)
+    assert model.num_features == EXPECTED_FEATURES[name]
+    x = jnp.zeros((2, 64, 64, 1)) if not name.startswith("vit") \
+        else jnp.zeros((2, 224, 224, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False,
+                      mutable=["batch_stats"] if "batch_stats" in variables else [])
+    feats = out[0] if isinstance(out, tuple) else out
+    assert feats.shape == (2, EXPECTED_FEATURES[name])
+
+
+def test_image_encoder_metadata():
+    enc = ImageEncoder(name="resnet18", metadata=True)
+    assert enc.dim_out == 514
+    x = jnp.zeros((2, 64, 64, 1))
+    shape = jnp.array([[100, 80], [60, 90]], dtype=jnp.int32)
+    variables = enc.init(jax.random.key(0), x, image_shape=shape, train=False)
+    out, _ = enc.apply(variables, x, image_shape=shape, train=False,
+                       mutable=["batch_stats"])
+    assert out.shape == (2, 514)
+    # metadata dims are (h, w) / input_res
+    np.testing.assert_allclose(np.asarray(out[:, -2:]),
+                               np.asarray(shape) / 64, rtol=1e-6)
+
+
+def test_profile_transformer():
+    enc = ProfileTransformer(dim_in=6, dim_hidden=32, target_size=16,
+                             num_head=2, num_layers=2, dim_feedforward=64)
+    assert enc.dim_out == 33
+    tokens = enc.tokenize([np.random.randn(10, 6).astype(np.float32),
+                           np.random.randn(16, 6).astype(np.float32)])
+    batch = {k: jnp.asarray(v) for k, v in tokens.items()}
+    plen = jnp.array([[10], [16]], dtype=jnp.int32)
+    variables = enc.init(jax.random.key(0), profile_len=plen, **batch)
+    out = enc.apply(variables, profile_len=plen, **batch)
+    assert out.shape == (2, 33)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_profile_transformer_padding_invariance():
+    """Padding tokens must not change the CLS output (attention masking)."""
+    enc = ProfileTransformer(dim_in=6, dim_hidden=32, target_size=32,
+                             num_head=2, num_layers=2, dim_feedforward=64,
+                             dropout=0.0, metadata=False)
+    p = np.random.RandomState(0).randn(10, 6).astype(np.float32)
+    short = enc.tokenize([p], pad_to=11)
+    long = enc.tokenize([p], pad_to=33)
+    variables = enc.init(jax.random.key(0),
+                         **{k: jnp.asarray(v) for k, v in short.items()})
+    o1 = enc.apply(variables, **{k: jnp.asarray(v) for k, v in short.items()})
+    o2 = enc.apply(variables, **{k: jnp.asarray(v) for k, v in long.items()})
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_profile_lstm():
+    enc = ProfileLSTM(dim_in=6, dim_hidden=32, num_layers=2)
+    assert enc.dim_out == 33
+    tokens = enc.tokenize([np.random.randn(10, 6).astype(np.float32),
+                           np.random.randn(7, 6).astype(np.float32)])
+    batch = {k: jnp.asarray(v) for k, v in tokens.items()}
+    plen = jnp.array([[10], [7]], dtype=jnp.int32)
+    variables = enc.init(jax.random.key(0), profile_len=plen, **batch)
+    out = enc.apply(variables, profile_len=plen, **batch)
+    assert out.shape == (2, 33)
+
+
+def test_profile_lstm_padding_invariance():
+    """Hidden state is taken at last_idx, so trailing padding is inert."""
+    enc = ProfileLSTM(dim_in=6, dim_hidden=16, num_layers=1, dropout=0.0,
+                      metadata=False)
+    p = np.random.RandomState(0).randn(9, 6).astype(np.float32)
+    t1 = enc.tokenize([p], pad_to=9)
+    t2 = enc.tokenize([p], pad_to=24)
+    variables = enc.init(jax.random.key(0),
+                         **{k: jnp.asarray(v) for k, v in t1.items()})
+    o1 = enc.apply(variables, **{k: jnp.asarray(v) for k, v in t1.items()})
+    o2 = enc.apply(variables, **{k: jnp.asarray(v) for k, v in t2.items()})
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_profile_cnn():
+    enc = ProfileCNN(dim_in=6, blocks=(2, 2, 2, 2), base_channels=16)
+    assert enc.dim_out == 129
+    tokens = enc.tokenize([np.random.randn(64, 6).astype(np.float32)] * 3)
+    profile = jnp.asarray(tokens["profile"])
+    plen = jnp.full((3, 1), 64, dtype=jnp.int32)
+    variables = enc.init(jax.random.key(0), profile, profile_len=plen)
+    out, _ = enc.apply(variables, profile, profile_len=plen, train=True,
+                       mutable=["batch_stats"],
+                       rngs={"dropout": jax.random.key(1)})
+    assert out.shape == (3, 129)
+
+
+def test_create_profile_encoder_dispatch():
+    assert isinstance(create_profile_encoder(
+        {"dim_in": 6, "num_head": 2, "dim_hidden": 8, "target_size": 8}),
+        ProfileTransformer)
+    assert isinstance(create_profile_encoder(
+        {"dim_in": 6, "blocks": [1, 1, 1, 1]}), ProfileCNN)
+    assert isinstance(create_profile_encoder(
+        {"dim_in": 6, "dim_hidden": 8, "num_layers": 1}), ProfileLSTM)
+
+
+def _tiny_multi_batch(B=4, L=16):
+    rs = np.random.RandomState(0)
+    return {
+        "image": jnp.asarray(rs.randn(B, 64, 64, 1), jnp.float32),
+        "image_shape": jnp.asarray(rs.randint(50, 200, (B, 2)), jnp.int32),
+        "profile": jnp.asarray(rs.randn(B, L, 6), jnp.float32),
+        "profile_len": jnp.asarray(rs.randint(10, 100, (B, 1)), jnp.int32),
+    }
+
+
+def test_multimodel_encode_and_loss():
+    model = MultiModel(
+        dim_embed=32,
+        image_encoder_args={"name": "resnet18", "metadata": True},
+        profile_encoder_args={"kind": "cnn", "dim_in": 6,
+                              "blocks": (1, 1, 1, 1), "base_channels": 8},
+        coordination_args={"method": "clip"},
+    )
+    batch = _tiny_multi_batch()
+    variables = model.init(jax.random.key(0), buckets=2, **batch)
+    emb = model.apply(variables, method="encode", **batch)
+    assert emb["image_emb"].shape == (4, 32)
+    assert emb["profile_emb"].shape == (4, 32)
+    loss, _ = model.apply(variables, method="loss", buckets=2, train=True,
+                          mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.key(1)}, **batch)
+    assert np.isfinite(float(loss))
+    # safe_forward: single-modality encode skips the other
+    emb = model.apply(variables, method="encode",
+                      profile=batch["profile"],
+                      profile_len=batch["profile_len"])
+    assert emb["image_emb"] is None and emb["profile_emb"].shape == (4, 32)
+
+
+def test_classifiers():
+    img = ImageClassifier(n_classes=5,
+                          image_encoder_args={"name": "resnet18"})
+    batch = _tiny_multi_batch()
+    v = img.init(jax.random.key(0), batch["image"],
+                 image_shape=batch["image_shape"])
+    logits = img.apply(v, batch["image"], image_shape=batch["image_shape"])
+    assert logits.shape == (4, 5)
+
+    prof = ProfileClassifier(n_classes=5,
+                             profile_encoder_args={"kind": "lstm",
+                                                   "dim_in": 6,
+                                                   "dim_hidden": 16,
+                                                   "num_layers": 1})
+    tokens = {"profile": batch["profile"],
+              "last_idx": jnp.array([15, 15, 15, 15], jnp.int32)}
+    v = prof.init(jax.random.key(0), profile_len=batch["profile_len"], **tokens)
+    logits = prof.apply(v, profile_len=batch["profile_len"], **tokens)
+    assert logits.shape == (4, 5)

@@ -1,0 +1,69 @@
+"""Sharded-loss and mesh tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_plankton_recognition_tpu.ops import losses
+from multimodal_plankton_recognition_tpu.parallel import (
+    create_mesh, batch_sharding, shard_batch,
+    global_clip_loss, global_siglip_loss,
+)
+from multimodal_plankton_recognition_tpu.parallel.contrastive import (
+    make_global_loss_shard_map,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    return create_mesh()
+
+
+def _embs(B=16, D=8, seed=0):
+    rs = np.random.RandomState(seed)
+    return (jnp.asarray(rs.randn(B, D), jnp.float32),
+            jnp.asarray(rs.randn(B, D), jnp.float32))
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape == {"data": 8, "model": 1}
+
+
+def test_shard_batch(mesh):
+    batch = {"x": np.zeros((16, 4), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.spec == batch_sharding(mesh).spec
+
+
+def test_global_clip_matches_unsharded(mesh):
+    i, p = _embs()
+    scale = jnp.asarray(0.8)
+    sharded_fn = make_global_loss_shard_map(global_clip_loss, mesh,
+                                            n_scalars=1)
+    sharded = float(sharded_fn(i, p, scale))
+    expected = float(losses.clip_loss(i, p, scale, buckets=1))
+    np.testing.assert_allclose(sharded, expected, rtol=1e-5)
+
+
+def test_global_siglip_matches_unsharded(mesh):
+    i, p = _embs(seed=1)
+    scale, bias = jnp.asarray(0.5), jnp.asarray(-10.0)
+    sharded_fn = make_global_loss_shard_map(global_siglip_loss, mesh,
+                                            n_scalars=2)
+    sharded = float(sharded_fn(i, p, scale, bias))
+    expected = float(losses.siglip_loss(i, p, scale, bias, buckets=1))
+    np.testing.assert_allclose(sharded, expected, rtol=1e-5)
+
+
+def test_bucketed_loss_under_gspmd(mesh):
+    """The plain bucketed loss jitted over a sharded batch must equal the
+    single-device value (GSPMD inserts collectives, result unchanged)."""
+    i, p = _embs(seed=2)
+    expected = float(losses.clip_loss(i, p, jnp.asarray(0.3), buckets=4))
+    sharding = batch_sharding(mesh)
+    i_s = jax.device_put(i, sharding)
+    p_s = jax.device_put(p, sharding)
+    fn = jax.jit(lambda a, b: losses.clip_loss(a, b, jnp.asarray(0.3), 4))
+    np.testing.assert_allclose(float(fn(i_s, p_s)), expected, rtol=1e-5)
