@@ -177,6 +177,8 @@ def _normalize_coordination(args: Optional[Dict[str, Any]]) -> Optional[Dict[str
     args.setdefault("negatives", "bucketed")
     if args["negatives"] not in ("bucketed", "global"):
         raise CardError("coordination_args.negatives must be 'bucketed' or 'global'")
+    # fused=True routes clip/siglip through the Pallas TPU kernels
+    args.setdefault("fused", False)
     return args
 
 

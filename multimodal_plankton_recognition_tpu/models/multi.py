@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -31,6 +32,9 @@ class CoordinationHead(nn.Module):
     method: str = "clip"
     beta: float = 0.25
     margin: float = 0.25
+    #: route clip/siglip through the fused Pallas TPU kernels
+    #: (ops/pallas/contrastive.py); identical math, logits never leave VMEM
+    fused: bool = False
     # arcface options
     out_features: int = 0
     in_features: int = 0
@@ -45,6 +49,23 @@ class CoordinationHead(nn.Module):
         m = self.method
         if m in ("clip", "clipplus", "siglip", "siglipplus"):
             logit_scale = self.param("logit_scale", nn.initializers.ones, ())
+        if self.fused and m in ("clip", "clipplus", "siglip", "siglipplus"):
+            from ..ops.pallas.contrastive import (
+                clip_loss_fused, siglip_loss_fused,
+            )
+            interpret = jax.default_backend() != "tpu"
+            if m in ("clip", "clipplus"):
+                loss = clip_loss_fused(image_emb, profile_emb, logit_scale,
+                                       buckets, interpret)
+            else:
+                bias = self.param("logit_bias",
+                                  nn.initializers.constant(-10.0), ())
+                loss = siglip_loss_fused(image_emb, profile_emb, logit_scale,
+                                         bias, buckets, interpret)
+            if m.endswith("plus"):
+                loss = loss + self.beta * losses.mse_loss(image_emb,
+                                                          profile_emb)
+            return loss
         if m == "clip":
             return losses.clip_loss(image_emb, profile_emb, logit_scale, buckets)
         if m == "clipplus":

@@ -1,0 +1,3 @@
+from .contrastive import clip_loss_fused, siglip_loss_fused
+
+__all__ = ["clip_loss_fused", "siglip_loss_fused"]

@@ -65,7 +65,11 @@ class CheckpointManager:
 
     def restore(self, step: Optional[int] = None,
                 template: Optional[Any] = None) -> Dict[str, Any]:
-        step = step if step is not None else self._mngr.best_step()
+        if step is None:
+            step = self._mngr.best_step()
+        if step is None:  # no best_fn metrics recorded: fall back to latest
+            steps = self._mngr.all_steps()
+            step = max(steps) if steps else None
         if step is None:
             raise FileNotFoundError(f"No checkpoints in {self.directory}")
         if template is not None:

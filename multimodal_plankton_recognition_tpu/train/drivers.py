@@ -79,9 +79,55 @@ def _profile_kind(card: ModelCard) -> str:
     return (card.profile_encoder_args or {}).get("kind", "cnn")
 
 
+
+def _maybe_resume(state, resume):
+    """Restore a full TrainState (params + batch_stats + opt_state + step)
+    from a checkpoint directory to continue an interrupted run. The reference
+    has no mid-run resume (SURVEY item); here any checkpoint dir produced by
+    these drivers works: ``--resume <logdir>/<run>/version_k/checkpoints``."""
+    if not resume:
+        return state
+    mgr = CheckpointManager(resume, save_top_k=0)
+    restored = mgr.restore(template={
+        "step": 0, "params": state.params,
+        "batch_stats": state.batch_stats or {},
+        "opt_state": state.opt_state})
+    mgr.close()
+    return state.replace(step=restored["step"], params=restored["params"],
+                         batch_stats=restored["batch_stats"],
+                         opt_state=restored["opt_state"])
+
+
+class _Profiler:
+    """jax.profiler trace over the first epoch when enabled (the reference
+    has no profiling hooks; SURVEY aux-subsystem item)."""
+
+    def __init__(self, logdir, enabled: bool):
+        self.logdir = str(logdir)
+        self.enabled = enabled
+        self.active = False
+
+    def start(self):
+        if self.enabled:
+            jax.profiler.start_trace(self.logdir)
+            self.active = True
+
+    def stop_after_first_epoch(self, epoch, *_):
+        if self.active and epoch == 0:
+            jax.profiler.stop_trace()
+            self.active = False
+
+    def stop(self):
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+
+
 def train_multi(dataset: str | Path, modelcard: str | Path,
                 logdir: str | Path = "logs",
-                max_epochs: Optional[int] = None) -> dict:
+                max_epochs: Optional[int] = None,
+                resume: Optional[str] = None,
+                profile: bool = False) -> dict:
     """Contrastive cross-modal pretraining (reference: scripts/train_multi.py)."""
     enable_compilation_cache()
     card = load_card(modelcard)
@@ -115,6 +161,7 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
     sample = put_fn(next(iter(train_loader)))
     state = create_train_state(model, jax.random.key(card.seed), sample, tx,
                                init_kwargs={"buckets": card.buckets})
+    state = _maybe_resume(state, resume)
     state = place_state(state)
 
     # global negatives: the whole (sharded) batch is one contrastive group
@@ -130,13 +177,19 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
         metadata={"card": card.to_dict(), "kind": "multi",
                   "class_names": [str(c) for c in train_set.class_names]})
     stopper = EarlyStopping("valid_loss", "min", card.patience)
+    profiler = _Profiler(writer.logdir / "profile", profile)
     fitter = Fitter(train_step, eval_step, writer=writer, checkpointer=ckpt,
                     early_stopping=stopper,
                     min_epochs=card.trainer_args.min_epochs,
                     max_epochs=card.trainer_args.max_epochs,
                     check_val_every_n_epoch=card.trainer_args.check_val_every_n_epoch,
-                    seed=card.seed, put_fn=put_fn)
-    state = fitter.fit(state, train_loader, valid_loader)
+                    seed=card.seed, put_fn=put_fn,
+                    hooks={"on_epoch_end": profiler.stop_after_first_epoch})
+    profiler.start()
+    try:
+        state = fitter.fit(state, train_loader, valid_loader)
+    finally:
+        profiler.stop()
     writer.close()
     return {"history": fitter.history, "logdir": str(writer.logdir),
             "best_step": ckpt.best_step(), "state": state}
@@ -144,7 +197,9 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
 
 def _train_classifier(kind: str, dataset: str | Path,
                       modelcard: str | Path, logdir: str | Path = "logs",
-                      max_epochs: Optional[int] = None) -> dict:
+                      max_epochs: Optional[int] = None,
+                      resume: Optional[str] = None,
+                      profile: bool = False) -> dict:
     enable_compilation_cache()
     card = load_card(modelcard)
     if max_epochs is not None:
@@ -185,6 +240,7 @@ def _train_classifier(kind: str, dataset: str | Path,
     sample = put_fn(next(iter(train_loader)))
     inputs = {k: v for k, v in sample.items() if k != "label"}
     state = create_train_state(model, jax.random.key(card.seed), inputs, tx)
+    state = _maybe_resume(state, resume)
     state = place_state(state)
     train_step, eval_step = make_classifier_steps(model, tx)
 
@@ -196,12 +252,18 @@ def _train_classifier(kind: str, dataset: str | Path,
         metadata={"card": card.to_dict(), "kind": kind,
                   "class_names": vocab.to_list()})
     stopper = EarlyStopping("valid_loss", "min", card.patience)
+    profiler = _Profiler(writer.logdir / "profile", profile)
     fitter = Fitter(train_step, eval_step, writer=writer, checkpointer=ckpt,
                     early_stopping=stopper,
                     min_epochs=card.trainer_args.min_epochs,
                     max_epochs=card.trainer_args.max_epochs,
-                    seed=card.seed, put_fn=put_fn)
-    state = fitter.fit(state, train_loader, test_loader)
+                    seed=card.seed, put_fn=put_fn,
+                    hooks={"on_epoch_end": profiler.stop_after_first_epoch})
+    profiler.start()
+    try:
+        state = fitter.fit(state, train_loader, test_loader)
+    finally:
+        profiler.stop()
 
     # test with the best checkpoint (reference: trainer.test(ckpt_path='best'),
     # scripts/train_image.py:97) + confusion-matrix TensorBoard image
@@ -229,11 +291,15 @@ def _train_classifier(kind: str, dataset: str | Path,
             "best_step": best, "test_acc": test_acc, "state": state}
 
 
-def train_image(dataset, modelcard, logdir="logs", max_epochs=None) -> dict:
+def train_image(dataset, modelcard, logdir="logs", max_epochs=None,
+                resume=None, profile=False) -> dict:
     """Supervised image classifier (reference: scripts/train_image.py)."""
-    return _train_classifier("image", dataset, modelcard, logdir, max_epochs)
+    return _train_classifier("image", dataset, modelcard, logdir, max_epochs,
+                             resume, profile)
 
 
-def train_profile(dataset, modelcard, logdir="logs", max_epochs=None) -> dict:
+def train_profile(dataset, modelcard, logdir="logs", max_epochs=None,
+                  resume=None, profile=False) -> dict:
     """Supervised profile classifier (reference: scripts/train_profile.py)."""
-    return _train_classifier("profile", dataset, modelcard, logdir, max_epochs)
+    return _train_classifier("profile", dataset, modelcard, logdir,
+                             max_epochs, resume, profile)

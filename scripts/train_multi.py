@@ -22,13 +22,20 @@ def main() -> None:
                         help="Path to model card (yaml file).", required=True)
     parser.add_argument("-l", "--logdir", default="logs",
                         help="TensorBoard/checkpoint output directory.")
+    parser.add_argument("--resume", default=None,
+                        help="Checkpoint dir to resume from (params + "
+                             "optimizer state + step).")
+    parser.add_argument("--profile", action="store_true",
+                        help="Capture a jax.profiler trace of the first "
+                             "epoch into the run's logdir.")
     parser.add_argument("--max-epochs", type=int, default=None,
                         help="Override the card's max_epochs.")
     args = parser.parse_args()
 
     print(f"Training from model card {args.modelcard}")
     result = train_multi(args.dataset, args.modelcard, args.logdir,
-                         max_epochs=args.max_epochs)
+                         max_epochs=args.max_epochs,
+                         resume=args.resume, profile=args.profile)
     print(f"Logs and checkpoints in {result['logdir']}; "
           f"best epoch {result['best_step']}")
 
