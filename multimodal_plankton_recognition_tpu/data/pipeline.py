@@ -31,7 +31,20 @@ class Loader:
     def __init__(self, dataset, batch_size: int, collate_fn: Callable,
                  shuffle: bool = False, drop_last: bool = False,
                  num_workers: int = 4, seed: int = 0,
-                 prefetch_batches: int = 2) -> None:
+                 prefetch_batches: int = 2,
+                 host_shard: Optional[tuple] = None) -> None:
+        """``host_shard=(process_index, process_count)`` makes this loader
+        yield only its host's contiguous slice of every (identically
+        shuffled) global batch — the multi-host input pattern; combine
+        shards with parallel.multihost.make_global_batch. ``batch_size``
+        is the GLOBAL batch size."""
+        if host_shard is not None:
+            p, n = host_shard
+            if batch_size % n != 0:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"{n} host processes")
+        self.host_shard = host_shard
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -82,6 +95,10 @@ class Loader:
                         if stop.is_set():
                             return
                         idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        if self.host_shard is not None:
+                            p, n = self.host_shard
+                            local = len(idx) // n
+                            idx = idx[p * local:(p + 1) * local]
                         samples = list(pool.map(
                             lambda i: self._load_sample(epoch, i), idx))
                         out_q.put(self.collate_fn(samples))

@@ -80,6 +80,25 @@ def _profile_kind(card: ModelCard) -> str:
 
 
 
+
+def _maybe_load_pretrained(state, card: ModelCard):
+    """Merge pretrained backbone weights (npz) when the card asks for them
+    (fixes the reference ignoring its own ``pretrained`` flag,
+    src/image_encoder.py:17)."""
+    args = card.image_encoder_args or {}
+    if not args.get("pretrained"):
+        return state
+    path = args.get("pretrained_path")
+    if not path:
+        print("pretrained: true but no pretrained_path given; "
+              "training from scratch")
+        return state
+    from ..models.pretrained import load_pretrained_npz
+    params, stats = load_pretrained_npz(state.params, path)
+    print(f"loaded pretrained weights from {path}: {stats}")
+    return state.replace(params=params)
+
+
 def _maybe_resume(state, resume):
     """Restore a full TrainState (params + batch_stats + opt_state + step)
     from a checkpoint directory to continue an interrupted run. The reference
@@ -161,6 +180,7 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
     sample = put_fn(next(iter(train_loader)))
     state = create_train_state(model, jax.random.key(card.seed), sample, tx,
                                init_kwargs={"buckets": card.buckets})
+    state = _maybe_load_pretrained(state, card)
     state = _maybe_resume(state, resume)
     state = place_state(state)
 
@@ -240,6 +260,7 @@ def _train_classifier(kind: str, dataset: str | Path,
     sample = put_fn(next(iter(train_loader)))
     inputs = {k: v for k, v in sample.items() if k != "label"}
     state = create_train_state(model, jax.random.key(card.seed), inputs, tx)
+    state = _maybe_load_pretrained(state, card)
     state = _maybe_resume(state, resume)
     state = place_state(state)
     train_step, eval_step = make_classifier_steps(model, tx)

@@ -87,3 +87,28 @@ def test_supervised_collates(synthetic_dataset):
     prof_batch = next(iter(Loader(ds, 4, prof_collate, num_workers=1)))
     assert prof_batch["profile"].shape == (4, 24, 6)
     assert prof_batch["label"].shape == (4,)
+
+
+def test_loader_host_sharding(synthetic_dataset):
+    """Two simulated host processes cover each global batch exactly,
+    disjointly, in order (multi-host input pattern)."""
+    ds = MultiSet(synthetic_dataset / "train.csv",
+                  ImageTransformTrain(32), ProfileTransformTrain(32))
+    collate = lambda samples: {
+        "image": np.stack([s["image"] for s in samples])}
+    full = Loader(ds, 4, collate, shuffle=True, drop_last=True,
+                  num_workers=1, seed=3)
+    h0 = Loader(ds, 4, collate, shuffle=True, drop_last=True,
+                num_workers=1, seed=3, host_shard=(0, 2))
+    h1 = Loader(ds, 4, collate, shuffle=True, drop_last=True,
+                num_workers=1, seed=3, host_shard=(1, 2))
+    for bf, b0, b1 in zip(full, h0, h1):
+        assert b0["image"].shape[0] == 2 and b1["image"].shape[0] == 2
+        np.testing.assert_array_equal(
+            np.concatenate([b0["image"], b1["image"]]), bf["image"])
+
+
+def test_loader_host_sharding_divisibility():
+    import pytest
+    with pytest.raises(ValueError):
+        Loader(None, 5, lambda s: s, host_shard=(0, 2))
