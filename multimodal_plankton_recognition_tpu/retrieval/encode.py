@@ -76,6 +76,55 @@ def encode_dataset(checkpoint_dir: Path | str, csv_path: Path | str,
     return out
 
 
+def predict_classifier(checkpoint_dir: Path | str, csv_path: Path | str,
+                       batch_size: int = 64, num_workers: int = 4) -> Dict:
+    """Export a supervised classifier's logits + labels for a csv
+    (reference ``ImageModel/ProfileModel.predict_step`` semantics,
+    src/model.py:289-291, 445-447)."""
+    from ..data.transforms import ImageTransforms, ProfileTransform
+    from ..data.pipeline import image_collate_fn, profile_collate_fn
+    from ..utils import LabelVocab
+
+    enable_compilation_cache()
+    model, variables, meta = load_from_checkpoint(checkpoint_dir)
+    card = ModelCard.from_dict(meta["card"])
+    kind = meta.get("kind")
+    if kind not in ("image", "profile"):
+        raise ValueError(f"predict_classifier needs an image/profile "
+                         f"checkpoint, got kind={kind!r}")
+    vocab = LabelVocab(meta["class_names"])
+    image_tf = ImageTransforms(target_size=card.target_size)
+    profile_tf = ProfileTransform(max_len=card.max_len if kind == "profile"
+                                  else 0)
+    dataset = MultiSet(csv_path, image_tf, profile_tf)
+    if kind == "image":
+        collate = image_collate_fn(vocab)
+    else:
+        enc_kind = (card.profile_encoder_args or {}).get("kind", "cnn")
+        max_len = card.max_len or 256
+        pad_to = max_len + 1 if enc_kind == "transformer" else max_len
+        collate = profile_collate_fn(
+            tokenize.get_tokenizer(enc_kind, max_len, pad_to=pad_to), vocab)
+    loader = Loader(dataset, batch_size, collate, shuffle=False,
+                    drop_last=False, num_workers=num_workers)
+
+    @jax.jit
+    def step(batch):
+        inputs = {k: v for k, v in batch.items() if k != "label"}
+        return model.apply(variables, train=False, **inputs)
+
+    logits, labels = [], []
+    for batch in loader:
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+        logits.append(np.asarray(step(arrays)))
+        labels.append(np.asarray(batch["label"]))
+    return {
+        "logits": np.concatenate(logits),
+        "label": vocab.inverse_transform(np.concatenate(labels)),
+        "classes": np.asarray(vocab.to_list()),
+    }
+
+
 def encode_split(checkpoint_dir: Path | str, dataset_dir: Path | str,
                  batch_size: int = 64, num_workers: int = 4) -> Dict:
     """Nested layout: dataset_dir/{train,test}.csv ->

@@ -84,3 +84,31 @@ def test_encode_split_and_benchmark_cross_folds(trained_run, synthetic_dataset):
     preds = results["tiny"][1][2][0]["pred"][1]
     assert set(preds.keys()) == {"I - I", "I - P", "I - I+P", "P - I",
                                  "P - P", "P - I+P", "I+P - I", "I+P - P"}
+
+
+def test_train_image_driver_and_predict(synthetic_dataset, tmp_path):
+    import yaml
+    from multimodal_plankton_recognition_tpu.train.drivers import train_image
+    from multimodal_plankton_recognition_tpu.retrieval import (
+        predict_classifier,
+    )
+
+    card = {
+        "bs": 4, "num_workers": 2, "patience": 5, "save_top_k": 1,
+        "target_size": 32,
+        "image_encoder_args": {"name": "resnet18", "metadata": True},
+        "optim_args": {"lr": 5e-3, "momentum": 0.9, "weight_decay": 0.0,
+                       "nesterov": True},
+        "trainer_args": {"precision": "32", "min_epochs": 1, "max_epochs": 2},
+    }
+    card_path = tmp_path / "img_card.yaml"
+    card_path.write_text(yaml.safe_dump(card))
+    res = train_image(synthetic_dataset, card_path, logdir=tmp_path / "logs")
+    assert 0.0 <= res["test_acc"] <= 1.0
+    assert any("valid_acc" in h for h in res["history"])
+
+    out = predict_classifier(f"{res['logdir']}/checkpoints",
+                             synthetic_dataset / "test.csv",
+                             batch_size=4, num_workers=1)
+    assert out["logits"].shape[1] == 3
+    assert len(out["label"]) == out["logits"].shape[0]
