@@ -133,7 +133,7 @@ def _normalize_profile_encoder(args: Optional[Dict[str, Any]],
                         "activation", "metadata"},
         "lstm": {"dim_in", "dim_hidden", "num_layers", "dropout", "metadata"},
         "cnn": {"dim_in", "blocks", "groups", "base_channels", "dropout",
-                "metadata"},
+                "metadata", "norm"},
     }[kind]
     unknown = set(args) - allowed
     if unknown:

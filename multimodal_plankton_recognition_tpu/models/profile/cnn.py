@@ -22,14 +22,25 @@ import flax.linen as nn
 from ...data.tokenize import tokenize_cnn
 
 
+def _make_norm(kind: str, dtype, name: str, train: bool):
+    """norm='batch' (reference parity; global-batch stats = sync-BN under
+    GSPMD) or norm='group' (batch-independent, no running stats — the
+    conventional alternative for small per-device batches, SURVEY section 7)."""
+    if kind == "group":
+        return nn.GroupNorm(num_groups=None, group_size=8, dtype=dtype,
+                            name=name)
+    return nn.BatchNorm(use_running_average=not train, dtype=dtype, name=name)
+
+
 class _BasicBlock1D(nn.Module):
-    """conv(k3,s)+BN+ReLU -> conv(k3,1)+BN, residual add, ReLU
+    """conv(k3,s)+norm+ReLU -> conv(k3,1)+norm, residual add, ReLU
     (reference: src/profile_encoder.py:111-148)."""
 
     channels: int
     stride: int
     use_projection: bool
     dtype: jnp.dtype
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -37,19 +48,17 @@ class _BasicBlock1D(nn.Module):
         y = nn.Conv(self.channels, (3,), strides=(self.stride,),
                     padding=[(1, 1)], use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn1")(y)
+        y = _make_norm(self.norm, self.dtype, "bn1", train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.channels, (3,), strides=(1,), padding=[(1, 1)],
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn2")(y)
+        y = _make_norm(self.norm, self.dtype, "bn2", train)(y)
         if self.use_projection:
             identity = nn.Conv(self.channels, (1,), strides=(self.stride,),
                                padding="VALID", use_bias=False,
                                dtype=self.dtype, name="proj_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train,
-                                    dtype=self.dtype, name="proj_bn")(identity)
+            identity = _make_norm(self.norm, self.dtype, "proj_bn",
+                                  train)(identity)
         return nn.relu(y + identity)
 
 
@@ -60,6 +69,7 @@ class ProfileCNN(nn.Module):
     base_channels: int = 32
     dropout: float = 0.1
     metadata: bool = True
+    norm: str = "batch"   # 'batch' (reference parity) or 'group'
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -76,8 +86,7 @@ class ProfileCNN(nn.Module):
         x = profile.astype(self.dtype)  # (B, L, D) channel-last
         x = nn.Conv(self.base_channels, (3,), strides=(2,), padding=[(1, 1)],
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="stem_bn")(x)
+        x = _make_norm(self.norm, self.dtype, "stem_bn", train)(x)
         x = nn.relu(x)
         # MaxPool1d(3, 2, 1): pad with -inf so padding never wins the max
         x = nn.max_pool(x, window_shape=(3,), strides=(2,), padding=[(1, 1)])
@@ -91,6 +100,7 @@ class ProfileCNN(nn.Module):
                 s = stride if b == 0 else 1
                 proj = b == 0 and (s != 1 or in_channels != stage_channels)
                 x = _BasicBlock1D(stage_channels, s, proj, self.dtype,
+                                  norm=self.norm,
                                   name=f"stage{stage + 1}_block{b}")(
                     x, train=train)
                 in_channels = stage_channels

@@ -41,13 +41,22 @@ def main() -> None:
                         help="Fold key in the pickle.")
     parser.add_argument("--train-test", action="store_true",
                         help="Encode train.csv and test.csv (nested layout).")
+    parser.add_argument("--logits", action="store_true",
+                        help="Classifier checkpoint: export logits+labels "
+                             "instead of embeddings.")
     parser.add_argument("--append", action="store_true",
                         help="Merge into an existing pickle.")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--num-workers", type=int, default=4)
     args = parser.parse_args()
 
-    if args.train_test:
+    if args.logits:
+        from multimodal_plankton_recognition_tpu.retrieval import (
+            predict_classifier,
+        )
+        entry = predict_classifier(args.checkpoint, args.data,
+                                   args.batch_size, args.num_workers)
+    elif args.train_test:
         entry = encode_split(args.checkpoint, args.data,
                              args.batch_size, args.num_workers)
     else:

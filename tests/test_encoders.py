@@ -189,3 +189,16 @@ def test_classifiers():
     v = prof.init(jax.random.key(0), profile_len=batch["profile_len"], **tokens)
     logits = prof.apply(v, profile_len=batch["profile_len"], **tokens)
     assert logits.shape == (4, 5)
+
+
+def test_profile_cnn_groupnorm():
+    """norm='group' variant: no batch_stats collection, same output shape."""
+    enc = ProfileCNN(dim_in=6, blocks=(1, 1, 1, 1), base_channels=16,
+                     norm="group")
+    tokens = enc.tokenize([np.random.randn(64, 6).astype(np.float32)] * 2)
+    profile = jnp.asarray(tokens["profile"])
+    plen = jnp.full((2, 1), 64, dtype=jnp.int32)
+    variables = enc.init(jax.random.key(0), profile, profile_len=plen)
+    assert "batch_stats" not in variables
+    out = enc.apply(variables, profile, profile_len=plen)
+    assert out.shape == (2, 129)

@@ -67,3 +67,35 @@ def test_bucketed_loss_under_gspmd(mesh):
     p_s = jax.device_put(p, sharding)
     fn = jax.jit(lambda a, b: losses.clip_loss(a, b, jnp.asarray(0.3), 4))
     np.testing.assert_allclose(float(fn(i_s, p_s)), expected, rtol=1e-5)
+
+
+def test_batchnorm_global_stats_under_gspmd(mesh):
+    """BatchNorm batch statistics computed under a data-sharded batch equal
+    the single-device statistics (GSPMD turns the batch mean/var into a
+    cross-replica reduction = sync-BN for free)."""
+    import flax.linen as nn
+
+    class BN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return nn.BatchNorm(use_running_average=not train)(x)
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(16, 8), jnp.float32)
+    m = BN()
+    v = m.init(jax.random.key(0), x)
+
+    def stats(x_in):
+        out, upd = jax.jit(
+            lambda v, x: m.apply(v, x, mutable=["batch_stats"]))(v, x_in)
+        return out, upd["batch_stats"]
+
+    out_ref, bs_ref = stats(x)
+    x_sharded = jax.device_put(x, batch_sharding(mesh))
+    out_sh, bs_sh = stats(x_sharded)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(bs_sh["BatchNorm_0"][k]),
+            np.asarray(bs_ref["BatchNorm_0"][k]), atol=1e-6)
