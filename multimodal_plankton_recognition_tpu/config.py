@@ -204,6 +204,7 @@ class ModelCard:
     trainer_args: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
     # TPU-specific extensions (absent from reference cards, defaulted).
     mesh: Optional[Dict[str, int]] = None      # e.g. {data: 8, model: 1}
+    device_augment: bool = False  # run crop/flip/noise on TPU in the step
     raw: Dict[str, Any] = dataclasses.field(default_factory=dict, repr=False)
 
     def __post_init__(self) -> None:

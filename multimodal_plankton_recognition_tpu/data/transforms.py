@@ -325,6 +325,41 @@ class ProfileTransformTest:
         return x.astype(np.float32)
 
 
+class ImageTransformOversize:
+    """Deterministic host-side prefix of the train image transform for the
+    on-device augmentation path (ops/augment.py): crop the scale bar, resize
+    to ceil(1.05 * target) with edge padding, rescale to [-1, 1]. The random
+    crop / flips run batched on the TPU inside the train step."""
+
+    def __init__(self, target_size: int = 224) -> None:
+        self.oversize = math.ceil(1.05 * target_size)
+
+    def __call__(self, img: Image.Image,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        img = img.convert("L")
+        img = img.crop((0, SCALEBAR_ROWS, img.width, img.height))
+        arr = resize_edge(img, self.oversize)
+        return (arr.astype(np.float32) / 255.0 * 2.0 - 1.0)[..., None]
+
+
+class ProfileTransformOversize:
+    """Deterministic host-side prefix of the train profile transform for the
+    on-device augmentation path: log1p, ceiling-normalize, [-1, 1], resample
+    to ceil(1.05 * target). Random crop + noise run on the TPU."""
+
+    def __init__(self, target_size: int = 224,
+                 ceilings: np.ndarray = PROFILE_LOG_CEILINGS) -> None:
+        self.oversize = math.ceil(1.05 * target_size)
+        self.ceilings = np.asarray(ceilings, dtype=np.float32)
+
+    def __call__(self, profile: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        x = np.log1p(np.asarray(profile, dtype=np.float32))
+        d = x.shape[-1]
+        x = x / self.ceilings[:d] * 2.0 - 1.0
+        return resample_linear(x, self.oversize).astype(np.float32)
+
+
 class PairAugmentation:
     """Joint coin-flip: horizontal image flip AND time-reversal of the
     profile, keeping the modalities geometrically consistent

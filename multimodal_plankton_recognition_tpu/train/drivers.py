@@ -155,22 +155,40 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
     data_path = Path(dataset)
     ts = card.target_size
 
-    train_set = MultiSet(data_path / "train.csv",
-                         ImageTransformTrain(ts), ProfileTransformTrain(ts),
-                         PairAugmentation())
+    if card.device_augment:
+        # host does the deterministic oversize prefix; crop/flip/noise run
+        # batched on the TPU inside the train step (ops/augment.py)
+        from ..data.transforms import (
+            ImageTransformOversize, ProfileTransformOversize,
+        )
+        train_set = MultiSet(data_path / "train.csv",
+                             ImageTransformOversize(ts),
+                             ProfileTransformOversize(ts))
+    else:
+        train_set = MultiSet(data_path / "train.csv",
+                             ImageTransformTrain(ts),
+                             ProfileTransformTrain(ts),
+                             PairAugmentation())
     test_set = MultiSet(data_path / "test.csv",
                         ImageTransformTest(ts), ProfileTransformTest(ts))
 
     kind = _profile_kind(card)
-    pad_to = ts + 1 if kind == "transformer" else ts
-    tok = tokenize.get_tokenizer(kind, ts, pad_to=pad_to)
-    collate = multi_collate_fn(tok)
-    train_loader = Loader(train_set, card.bs, collate, shuffle=True,
-                          drop_last=True, num_workers=card.num_workers,
-                          seed=card.seed)
-    valid_loader = Loader(test_set, card.bs, collate, shuffle=True,
-                          drop_last=True, num_workers=card.num_workers,
-                          seed=card.seed + 1)
+    if card.device_augment and kind != "cnn":
+        raise ValueError(
+            "device_augment currently supports the 'cnn' profile encoder "
+            "only (transformer/lstm tokenization embeds CLS/position/"
+            "last-index structure that an on-device crop would invalidate)")
+    train_len = card.oversize if card.device_augment else ts
+    train_tok = tokenize.get_tokenizer(
+        kind, ts, pad_to=train_len + 1 if kind == "transformer" else train_len)
+    valid_tok = tokenize.get_tokenizer(
+        kind, ts, pad_to=ts + 1 if kind == "transformer" else ts)
+    train_loader = Loader(train_set, card.bs, multi_collate_fn(train_tok),
+                          shuffle=True, drop_last=True,
+                          num_workers=card.num_workers, seed=card.seed)
+    valid_loader = Loader(test_set, card.bs, multi_collate_fn(valid_tok),
+                          shuffle=True, drop_last=True,
+                          num_workers=card.num_workers, seed=card.seed + 1)
 
     model = build.build_multi_model(card)
     tx = make_optimizer(card.optim_args,
@@ -187,7 +205,12 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
     # global negatives: the whole (sharded) batch is one contrastive group
     negatives = (card.coordination_args or {}).get("negatives", "bucketed")
     buckets = 1 if negatives == "global" else card.buckets
-    train_step, eval_step = make_multi_steps(model, tx, buckets)
+    augment_fn = None
+    if card.device_augment:
+        from ..ops.augment import multi_train_augment
+        augment_fn = lambda b, r: multi_train_augment(b, ts, r)
+    train_step, eval_step = make_multi_steps(model, tx, buckets,
+                                             augment_fn=augment_fn)
 
     name = _run_name(Path(modelcard), data_path)
     writer = MetricsWriter(logdir, name=name)

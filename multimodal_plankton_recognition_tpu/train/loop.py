@@ -57,13 +57,20 @@ def _apply_loss(model, state: TrainState, params, batch, rng, *,
 
 
 def make_multi_steps(model, tx: optax.GradientTransformation,
-                     buckets: int = 1):
-    """(train_step, eval_step) for contrastive pretraining."""
+                     buckets: int = 1, augment_fn=None):
+    """(train_step, eval_step) for contrastive pretraining.
+
+    ``augment_fn(batch, rng) -> batch`` optionally runs the randomized tail
+    of the input transforms on-device inside the jitted step
+    (ops/augment.multi_train_augment)."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
         step_rng = jax.random.fold_in(rng, state.step)
+        if augment_fn is not None:
+            aug_rng, step_rng = jax.random.split(step_rng)
+            batch = augment_fn(batch, aug_rng)
 
         def loss_fn(params):
             return _apply_loss(model, state, params, batch, step_rng,
