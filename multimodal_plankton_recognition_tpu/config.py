@@ -205,6 +205,7 @@ class ModelCard:
     # TPU-specific extensions (absent from reference cards, defaulted).
     mesh: Optional[Dict[str, int]] = None      # e.g. {data: 8, model: 1}
     device_augment: bool = False  # run crop/flip/noise on TPU in the step
+    loader: str = "threads"       # 'threads' | 'grain' (multiprocess workers)
     raw: Dict[str, Any] = dataclasses.field(default_factory=dict, repr=False)
 
     def __post_init__(self) -> None:

@@ -17,7 +17,8 @@ from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
 
-import jax
+# NOTE: no module-level jax import — input-worker processes (grain) unpickle
+# objects from this module and must not pay (or tunnel-register) a jax import.
 
 
 class Loader:
@@ -122,10 +123,11 @@ class Loader:
 
 def prefetch_to_device(iterator: Iterator[Dict[str, np.ndarray]],
                        size: int = 2,
-                       sharding: Optional[jax.sharding.Sharding] = None
-                       ) -> Iterator[Dict]:
+                       sharding=None) -> Iterator[Dict]:
     """Double-buffer host batches onto the device (optionally sharded over a
     mesh), so H2D transfer overlaps with the previous step's compute."""
+    import jax
+
     buf = []
 
     def put(batch):
@@ -146,40 +148,58 @@ def prefetch_to_device(iterator: Iterator[Dict[str, np.ndarray]],
 # in-line closures)
 # ---------------------------------------------------------------------------
 
-def multi_collate_fn(tokenizer: Callable) -> Callable:
+class MultiCollate:
     """Contrastive-pretraining collate (reference: scripts/train_multi.py:66-76):
-    stacked images + tokenized profiles + per-sample metadata."""
+    stacked images + tokenized profiles + per-sample metadata. A picklable
+    class so process-based input workers (grain) can ship it."""
 
-    def collate(samples) -> Dict[str, np.ndarray]:
+    def __init__(self, tokenizer: Callable) -> None:
+        self.tokenizer = tokenizer
+
+    def __call__(self, samples) -> Dict[str, np.ndarray]:
         batch = {"image": np.stack([s["image"] for s in samples])}
-        batch.update(tokenizer([s["profile"] for s in samples]))
+        batch.update(self.tokenizer([s["profile"] for s in samples]))
         batch["image_shape"] = np.stack([s["image_shape"] for s in samples])
         batch["profile_len"] = np.stack([s["profile_length"] for s in samples])
         return batch
 
-    return collate
 
-
-def image_collate_fn(vocab) -> Callable:
+class ImageCollate:
     """Supervised image-classifier collate (reference: scripts/train_image.py:57-65)."""
 
-    def collate(samples) -> Dict[str, np.ndarray]:
+    def __init__(self, vocab) -> None:
+        self.vocab = vocab
+
+    def __call__(self, samples) -> Dict[str, np.ndarray]:
         return {
             "image": np.stack([s["image"] for s in samples]),
-            "label": vocab.transform([s["label"] for s in samples]),
+            "label": self.vocab.transform([s["label"] for s in samples]),
             "image_shape": np.stack([s["image_shape"] for s in samples]),
         }
 
-    return collate
+
+class ProfileCollate:
+    """Supervised profile-classifier collate (reference: scripts/train_profile.py:57-65)."""
+
+    def __init__(self, tokenizer: Callable, vocab) -> None:
+        self.tokenizer = tokenizer
+        self.vocab = vocab
+
+    def __call__(self, samples) -> Dict[str, np.ndarray]:
+        batch = dict(self.tokenizer([s["profile"] for s in samples]))
+        batch["label"] = self.vocab.transform([s["label"] for s in samples])
+        batch["profile_len"] = np.stack(
+            [s["profile_length"] for s in samples])
+        return batch
+
+
+def multi_collate_fn(tokenizer: Callable) -> Callable:
+    return MultiCollate(tokenizer)
+
+
+def image_collate_fn(vocab) -> Callable:
+    return ImageCollate(vocab)
 
 
 def profile_collate_fn(tokenizer: Callable, vocab) -> Callable:
-    """Supervised profile-classifier collate (reference: scripts/train_profile.py:57-65)."""
-
-    def collate(samples) -> Dict[str, np.ndarray]:
-        batch = dict(tokenizer([s["profile"] for s in samples]))
-        batch["label"] = vocab.transform([s["label"] for s in samples])
-        batch["profile_len"] = np.stack([s["profile_length"] for s in samples])
-        return batch
-
-    return collate
+    return ProfileCollate(tokenizer, vocab)

@@ -94,15 +94,29 @@ def tokenize_cnn(profiles: Iterable[np.ndarray],
     return {"profile": tokens}
 
 
-def get_tokenizer(kind: str, target_size: int = 224,
-                  pad_to: Optional[int] = None):
-    """Return a ``tokenize(list_of_profiles) -> dict`` callable for an
+class Tokenizer:
+    """Picklable ``tokenize(list_of_profiles) -> dict`` callable for an
     encoder kind, mirroring ``model.profile_encoder.tokenize``
-    (reference: scripts/train_multi.py:70)."""
-    if kind == "transformer":
-        return lambda ps: tokenize_transformer(ps, target_size, pad_to)
-    if kind == "lstm":
-        return lambda ps: tokenize_lstm(ps, pad_to)
-    if kind == "cnn":
-        return lambda ps: tokenize_cnn(ps, pad_to)
-    raise ValueError(f"Unknown profile encoder kind {kind!r}")
+    (reference: scripts/train_multi.py:70). Picklability matters for
+    process-based input workers (grain)."""
+
+    def __init__(self, kind: str, target_size: int = 224,
+                 pad_to: Optional[int] = None) -> None:
+        if kind not in ("transformer", "lstm", "cnn"):
+            raise ValueError(f"Unknown profile encoder kind {kind!r}")
+        self.kind = kind
+        self.target_size = target_size
+        self.pad_to = pad_to
+
+    def __call__(self, profiles):
+        if self.kind == "transformer":
+            return tokenize_transformer(profiles, self.target_size,
+                                        self.pad_to)
+        if self.kind == "lstm":
+            return tokenize_lstm(profiles, self.pad_to)
+        return tokenize_cnn(profiles, self.pad_to)
+
+
+def get_tokenizer(kind: str, target_size: int = 224,
+                  pad_to: Optional[int] = None) -> Tokenizer:
+    return Tokenizer(kind, target_size, pad_to)

@@ -24,6 +24,7 @@ from ..data import (
     MultiSet, ImageTransformTrain, ImageTransformTest, ProfileTransformTrain,
     ProfileTransformTest, PairAugmentation, Loader, tokenize,
 )
+from ..data.grain_pipeline import GrainLoader
 from ..data.transforms import ImageTransforms, ProfileTransform
 from ..data.pipeline import (
     multi_collate_fn, image_collate_fn, profile_collate_fn,
@@ -77,6 +78,12 @@ def _setup_mesh(card: ModelCard):
 
 def _profile_kind(card: ModelCard) -> str:
     return (card.profile_encoder_args or {}).get("kind", "cnn")
+
+
+def _loader_cls(card: ModelCard):
+    """'threads' (default) or 'grain' (multiprocess workers — sidesteps the
+    GIL, ~5x host input throughput; see data/grain_pipeline.py)."""
+    return GrainLoader if card.loader == "grain" else Loader
 
 
 
@@ -183,12 +190,14 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
         kind, ts, pad_to=train_len + 1 if kind == "transformer" else train_len)
     valid_tok = tokenize.get_tokenizer(
         kind, ts, pad_to=ts + 1 if kind == "transformer" else ts)
-    train_loader = Loader(train_set, card.bs, multi_collate_fn(train_tok),
-                          shuffle=True, drop_last=True,
-                          num_workers=card.num_workers, seed=card.seed)
-    valid_loader = Loader(test_set, card.bs, multi_collate_fn(valid_tok),
-                          shuffle=True, drop_last=True,
-                          num_workers=card.num_workers, seed=card.seed + 1)
+    loader_cls = _loader_cls(card)
+    train_loader = loader_cls(train_set, card.bs, multi_collate_fn(train_tok),
+                              shuffle=True, drop_last=True,
+                              num_workers=card.num_workers, seed=card.seed)
+    valid_loader = loader_cls(test_set, card.bs, multi_collate_fn(valid_tok),
+                              shuffle=True, drop_last=True,
+                              num_workers=card.num_workers,
+                              seed=card.seed + 1)
 
     model = build.build_multi_model(card)
     tx = make_optimizer(card.optim_args,
@@ -270,12 +279,13 @@ def _train_classifier(kind: str, dataset: str | Path,
         collate = profile_collate_fn(tok, vocab)
         model = build.build_profile_classifier(card, vocab.to_list())
 
-    train_loader = Loader(train_set, card.bs, collate, shuffle=True,
-                          drop_last=True, num_workers=card.num_workers,
-                          seed=card.seed)
-    test_loader = Loader(test_set, card.bs, collate, shuffle=False,
-                         drop_last=False, num_workers=card.num_workers,
-                         seed=card.seed + 1)
+    loader_cls = _loader_cls(card)
+    train_loader = loader_cls(train_set, card.bs, collate, shuffle=True,
+                              drop_last=True, num_workers=card.num_workers,
+                              seed=card.seed)
+    test_loader = loader_cls(test_set, card.bs, collate, shuffle=False,
+                             drop_last=False, num_workers=card.num_workers,
+                             seed=card.seed + 1)
 
     tx = make_optimizer(card.optim_args,
                         card.trainer_args.accumulate_grad_batches)

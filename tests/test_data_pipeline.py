@@ -112,3 +112,42 @@ def test_loader_host_sharding_divisibility():
     import pytest
     with pytest.raises(ValueError):
         Loader(None, 5, lambda s: s, host_shard=(0, 2))
+
+
+def test_grain_loader_parity(synthetic_dataset):
+    """GrainLoader yields bit-identical batches to the threaded Loader
+    (worker_count=0 runs in-process: correctness without process spawn)."""
+    from multimodal_plankton_recognition_tpu.data.grain_pipeline import (
+        GrainLoader,
+    )
+    ds = MultiSet(synthetic_dataset / "train.csv",
+                  ImageTransformTrain(32), ProfileTransformTrain(32),
+                  PairAugmentation())
+    collate = multi_collate_fn(tokenize.get_tokenizer("cnn", 32, pad_to=32))
+    l1 = Loader(ds, 4, collate, shuffle=True, drop_last=True,
+                num_workers=1, seed=11)
+    l2 = GrainLoader(ds, 4, collate, shuffle=True, drop_last=True,
+                     num_workers=0, seed=11)
+    for _ in range(2):  # two epochs: shuffling + rng advance identically
+        for b1, b2 in zip(l1, l2):
+            np.testing.assert_array_equal(b1["image"], b2["image"])
+            np.testing.assert_array_equal(b1["profile"], b2["profile"])
+
+
+def test_grain_loader_host_shard(synthetic_dataset):
+    from multimodal_plankton_recognition_tpu.data.grain_pipeline import (
+        GrainLoader,
+    )
+    ds = MultiSet(synthetic_dataset / "train.csv",
+                  ImageTransformTrain(32), ProfileTransformTrain(32))
+    collate = lambda samples: {
+        "image": np.stack([s["image"] for s in samples])}
+    full = Loader(ds, 4, collate, shuffle=True, drop_last=True,
+                  num_workers=1, seed=3)
+    h0 = GrainLoader(ds, 4, collate, shuffle=True, drop_last=True,
+                     num_workers=0, seed=3, host_shard=(0, 2))
+    h1 = GrainLoader(ds, 4, collate, shuffle=True, drop_last=True,
+                     num_workers=0, seed=3, host_shard=(1, 2))
+    for bf, b0, b1 in zip(full, h0, h1):
+        np.testing.assert_array_equal(
+            np.concatenate([b0["image"], b1["image"]]), bf["image"])
