@@ -9,7 +9,6 @@ directory.
 
 from __future__ import annotations
 
-import io
 from pathlib import Path
 from typing import Callable, Dict, Optional
 

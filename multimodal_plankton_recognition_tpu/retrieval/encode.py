@@ -50,8 +50,7 @@ def _encode_csv(model, variables, card: ModelCard, csv_path: Path,
                 l2_normalize(emb["profile_emb"]))
 
     images, profiles = [], []
-    labels = []
-    for i, batch in enumerate(loader):
+    for batch in loader:
         arrays = {k: jnp.asarray(v) for k, v in batch.items()}
         ie, pe = encode_step(arrays)
         images.append(np.asarray(ie))

@@ -30,7 +30,7 @@ from ..data.pipeline import (
     multi_collate_fn, image_collate_fn, profile_collate_fn,
 )
 from ..models import build
-from ..parallel import create_mesh, shard_batch, replicated_sharding
+from ..parallel import create_mesh, shard_batch
 from ..parallel.mesh import replicate_state
 from ..utils import LabelVocab
 from .optim import make_optimizer

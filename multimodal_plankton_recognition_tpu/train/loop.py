@@ -33,11 +33,6 @@ import optax
 from .state import TrainState
 
 
-def _split_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Drop non-array entries (labels as strings are handled by collate)."""
-    return batch
-
-
 def _apply_loss(model, state: TrainState, params, batch, rng, *,
                 train: bool, static_kwargs: Dict[str, Any]):
     variables = {"params": params}
