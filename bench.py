@@ -29,7 +29,6 @@ unfused-profile-CNN + bucketed-loss stack lands mid-range), so
 vs_baseline = measured / 2000.
 """
 
-import functools
 import json
 import time
 

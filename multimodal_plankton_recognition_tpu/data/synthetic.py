@@ -9,7 +9,6 @@ and an ``annotations.csv`` with columns ``image, profile, class``.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 import pandas as pd

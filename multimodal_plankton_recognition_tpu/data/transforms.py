@@ -18,7 +18,7 @@ Conventions:
 from __future__ import annotations
 
 import math
-from typing import Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from PIL import Image

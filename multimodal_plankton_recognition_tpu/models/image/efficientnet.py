@@ -11,7 +11,7 @@ the block input channels.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

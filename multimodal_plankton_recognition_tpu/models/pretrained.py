@@ -17,9 +17,6 @@ from typing import Any, Dict, Tuple
 
 import numpy as np
 
-import jax
-
-
 def flatten_params(params: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
     out = {}
     for k, v in params.items():

@@ -25,8 +25,6 @@ Fixed reference landmines:
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

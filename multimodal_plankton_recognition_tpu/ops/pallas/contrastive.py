@@ -19,8 +19,6 @@ on TPU they compile through Mosaic.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -20,7 +20,7 @@ results are deterministic given the sampling RNG.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

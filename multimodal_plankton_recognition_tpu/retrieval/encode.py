@@ -15,7 +15,7 @@ so the benchmark scripts consume either product unchanged
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -15,7 +15,6 @@ import json
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
