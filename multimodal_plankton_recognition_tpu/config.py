@@ -239,6 +239,19 @@ class ModelCard:
             kwargs.get("image_encoder_args"))
         kwargs["profile_encoder_args"] = _normalize_profile_encoder(
             kwargs.get("profile_encoder_args"), target_size, max_len)
+        pe = kwargs["profile_encoder_args"]
+        if pe and pe.get("kind") == "transformer" and \
+                kwargs.get("dim_embedding") is not None:
+            # multi-card: profiles are resampled to card target_size, so the
+            # position table (target_size + 2 rows) must cover those indices
+            # — an undersized table reads out-of-bounds embeddings and
+            # silently destabilizes training
+            if pe["target_size"] < target_size:
+                raise CardError(
+                    f"profile_encoder_args.target_size ({pe['target_size']}) "
+                    f"must be >= the card's target_size ({target_size}): "
+                    f"profiles are resampled to {target_size} steps and the "
+                    f"position table would be indexed out of bounds")
         kwargs["coordination_args"] = _normalize_coordination(
             kwargs.get("coordination_args"))
         kwargs["optim_args"] = OptimConfig.from_dict(kwargs.get("optim_args"))

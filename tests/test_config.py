@@ -83,3 +83,22 @@ def test_load_card_yaml(tmp_path):
     card = load_card(p)
     assert card.bs == 64
     assert card.oversize == 236
+
+
+def test_transformer_position_table_must_cover_target_size():
+    """An undersized transformer position table (profile_encoder target_size
+    < card target_size) reads out-of-bounds embeddings -> rejected."""
+    with pytest.raises(CardError):
+        ModelCard.from_dict({
+            "bs": 8, "dim_embedding": 16, "target_size": 224,
+            "profile_encoder_args": {"kind": "transformer", "dim_in": 6,
+                                     "dim_hidden": 16, "num_head": 2,
+                                     "target_size": 64},
+        })
+    # equal or larger is fine (the reference's 256 >= 224 case)
+    ModelCard.from_dict({
+        "bs": 8, "dim_embedding": 16, "target_size": 224,
+        "profile_encoder_args": {"kind": "transformer", "dim_in": 6,
+                                 "dim_hidden": 16, "num_head": 2,
+                                 "target_size": 256},
+    })
