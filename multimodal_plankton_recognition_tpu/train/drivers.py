@@ -204,7 +204,12 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
                         card.trainer_args.accumulate_grad_batches)
     mesh, put_fn, place_state = _setup_mesh(card)
 
-    sample = put_fn(next(iter(train_loader)))
+    # init from a throwaway loader so the training loader's epoch state
+    # (and, for GrainLoader, its persistent worker stream) is untouched
+    init_loader = Loader(train_set, card.bs, multi_collate_fn(train_tok),
+                         shuffle=True, drop_last=True, num_workers=1,
+                         seed=card.seed)
+    sample = put_fn(next(iter(init_loader)))
     state = create_train_state(model, jax.random.key(card.seed), sample, tx,
                                init_kwargs={"buckets": card.buckets})
     state = _maybe_load_pretrained(state, card)
@@ -290,7 +295,9 @@ def _train_classifier(kind: str, dataset: str | Path,
     tx = make_optimizer(card.optim_args,
                         card.trainer_args.accumulate_grad_batches)
     mesh, put_fn, place_state = _setup_mesh(card)
-    sample = put_fn(next(iter(train_loader)))
+    init_loader = Loader(train_set, card.bs, collate, shuffle=True,
+                         drop_last=True, num_workers=1, seed=card.seed)
+    sample = put_fn(next(iter(init_loader)))
     inputs = {k: v for k, v in sample.items() if k != "label"}
     state = create_train_state(model, jax.random.key(card.seed), inputs, tx)
     state = _maybe_load_pretrained(state, card)

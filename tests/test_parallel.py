@@ -99,3 +99,28 @@ def test_batchnorm_global_stats_under_gspmd(mesh):
         np.testing.assert_allclose(
             np.asarray(bs_sh["BatchNorm_0"][k]),
             np.asarray(bs_ref["BatchNorm_0"][k]), atol=1e-6)
+
+
+def test_make_global_batch_single_process(mesh):
+    """Single-process degenerate case: local batch == global batch, sharded
+    along the data axis."""
+    from multimodal_plankton_recognition_tpu.parallel import multihost
+    assert multihost.host_shard() == (0, 1)
+    local = {"x": np.arange(32, dtype=np.float32).reshape(16, 2)}
+    out = multihost.make_global_batch(local, mesh)
+    assert out["x"].shape == (16, 2)
+    np.testing.assert_array_equal(np.asarray(out["x"]), local["x"])
+    assert out["x"].sharding.spec == batch_sharding(mesh).spec
+
+
+def test_prefetch_to_device(mesh):
+    from multimodal_plankton_recognition_tpu.data.pipeline import (
+        prefetch_to_device,
+    )
+    batches = [{"x": np.full((8, 2), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2,
+                                  sharding=batch_sharding(mesh)))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]),
+                                      np.full((8, 2), i))
