@@ -89,6 +89,17 @@ class Loader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer went away
+            (a plain put would block forever on a full queue)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer() -> None:
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -102,10 +113,11 @@ class Loader:
                             idx = idx[p * local:(p + 1) * local]
                         samples = list(pool.map(
                             lambda i: self._load_sample(epoch, i), idx))
-                        out_q.put(self.collate_fn(samples))
-                out_q.put(None)
+                        if not _put(self.collate_fn(samples)):
+                            return
+                _put(None)
             except BaseException as e:  # propagate into consumer
-                out_q.put(e)
+                _put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -151,16 +163,23 @@ def prefetch_to_device(iterator: Iterator[Dict[str, np.ndarray]],
 class MultiCollate:
     """Contrastive-pretraining collate (reference: scripts/train_multi.py:66-76):
     stacked images + tokenized profiles + per-sample metadata. A picklable
-    class so process-based input workers (grain) can ship it."""
+    class so process-based input workers (grain) can ship it.
 
-    def __init__(self, tokenizer: Callable) -> None:
+    ``vocab`` adds integer label ids to the batch — needed only by
+    label-supervised coordination losses (ArcFace)."""
+
+    def __init__(self, tokenizer: Callable, vocab=None) -> None:
         self.tokenizer = tokenizer
+        self.vocab = vocab
 
     def __call__(self, samples) -> Dict[str, np.ndarray]:
         batch = {"image": np.stack([s["image"] for s in samples])}
         batch.update(self.tokenizer([s["profile"] for s in samples]))
         batch["image_shape"] = np.stack([s["image_shape"] for s in samples])
         batch["profile_len"] = np.stack([s["profile_length"] for s in samples])
+        if self.vocab is not None:
+            batch["label"] = self.vocab.transform(
+                [s["label"] for s in samples])
         return batch
 
 
@@ -193,8 +212,8 @@ class ProfileCollate:
         return batch
 
 
-def multi_collate_fn(tokenizer: Callable) -> Callable:
-    return MultiCollate(tokenizer)
+def multi_collate_fn(tokenizer: Callable, vocab=None) -> Callable:
+    return MultiCollate(tokenizer, vocab)
 
 
 def image_collate_fn(vocab) -> Callable:

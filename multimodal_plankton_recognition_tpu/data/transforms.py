@@ -163,6 +163,10 @@ def resample_linear(profile: np.ndarray, target_len: int,
     """
     profile = np.asarray(profile, dtype=np.float32)
     L = profile.shape[0]
+    if L == 0:
+        # empty profiles exist: preprocess drops non-positive rows and can
+        # drop them all (datagen/preprocess_*.py); resample to silence
+        return np.zeros((target_len, profile.shape[1]), np.float32)
     if L == target_len:
         return profile
     scale = L / target_len

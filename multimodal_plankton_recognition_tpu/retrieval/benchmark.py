@@ -179,7 +179,18 @@ def run_suite(embeddings: Dict, mode: str, N: Sequence[int],
 
     key_ = next(iter(embeddings))
     first_fold = next(iter(embeddings[key_].values()))
-    coder = LabelVocab(np.asarray(first_fold["classes"]))
+    # vocabulary = stored checkpoint classes UNION every label present in the
+    # embeddings, so classes the training split excluded (e.g. below split.py
+    # minsize) are thresholded away instead of crashing coder.transform
+    names = [np.asarray(first_fold["classes"])]
+    for data in embeddings.values():
+        for fold in data.values():
+            if "label" in fold:
+                names.append(np.unique(fold["label"]))
+            else:
+                for split in ("train", "test"):
+                    names.append(np.unique(fold[split]["label"]))
+    coder = LabelVocab(np.concatenate(names))
     rng = np.random.default_rng(seed)
     results: Dict = {name: {} for name in embeddings}
     for name, data in embeddings.items():

@@ -37,6 +37,9 @@ class CheckpointManager:
         )
         self._mngr = ocp.CheckpointManager(self.directory, options=options)
         if metadata is not None:
+            # record the monitored metric so a fresh manager (restore time)
+            # can rank checkpoints with the same best_fn
+            metadata = dict(metadata, _monitor=monitor, _mode=mode)
             with open(self.directory / METADATA_FILE, "w") as f:
                 json.dump(metadata, f, indent=2, default=str)
 
@@ -108,7 +111,15 @@ def load_from_checkpoint(directory: Path | str,
     else:  # pragma: no cover
         raise ValueError(f"Unknown checkpoint kind {kind!r}")
 
-    mngr = ocp.CheckpointManager(directory)
+    # reconstruct the best_fn from the recorded monitor so best_step() ranks
+    # by the monitored metric, not recency (a bare manager has no best_fn
+    # and would silently return the latest kept checkpoint)
+    monitor = meta.get("_monitor")
+    options = ocp.CheckpointManagerOptions(
+        best_fn=(lambda m: m[monitor]) if monitor else None,
+        best_mode=meta.get("_mode", "min"),
+    ) if monitor else None
+    mngr = ocp.CheckpointManager(directory, options=options)
     step = step if step is not None else mngr.best_step()
     if step is None:
         steps = mngr.all_steps()

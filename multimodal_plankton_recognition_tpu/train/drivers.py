@@ -55,20 +55,26 @@ def _setup_mesh(card: ModelCard):
     that fits the available chips (all of them in the common bs=64 / v5e-8
     case); an explicit ``mesh:`` card entry overrides and must divide bs.
     """
-    import math
-
     n_devices = len(jax.devices())
     n_model = (card.mesh or {}).get("model", 1)
     n_data = (card.mesh or {}).get("data")
     if n_data is None:
-        n_data = math.gcd(card.bs, n_devices // n_model)
+        avail = max(1, n_devices // n_model)
+        n_data = max(d for d in range(1, avail + 1) if card.bs % d == 0)
     mesh = create_mesh(n_data=n_data, n_model=n_model)
     if card.bs % n_data != 0:
         raise ValueError(
             f"Batch size {card.bs} not divisible by data-axis size {n_data}")
     if n_data * n_model > 1:
-        put_fn = lambda b: shard_batch(
-            {k: jnp.asarray(v) for k, v in b.items()}, mesh)
+        def put_fn(b):
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            # an uneven trailing eval batch (drop_last=False) cannot shard
+            # along `data`; let jit place/replicate it instead
+            rows = jax.tree.leaves(b)[0].shape[0]
+            if rows % n_data != 0:
+                return b
+            return shard_batch(b, mesh)
+
         place_state = lambda s: replicate_state(s, mesh)
     else:
         put_fn = lambda b: jax.tree.map(jnp.asarray, b)
@@ -190,11 +196,20 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
         kind, ts, pad_to=train_len + 1 if kind == "transformer" else train_len)
     valid_tok = tokenize.get_tokenizer(
         kind, ts, pad_to=ts + 1 if kind == "transformer" else ts)
+    # ArcFace is label-supervised: wire class ids through the collate and
+    # derive the class count from the training table
+    coord = card.coordination_args or {}
+    label_vocab = None
+    if coord.get("method") == "arcface":
+        label_vocab = LabelVocab(train_set.class_names)
+        coord.setdefault("out_features", len(label_vocab))
     loader_cls = _loader_cls(card)
-    train_loader = loader_cls(train_set, card.bs, multi_collate_fn(train_tok),
+    train_loader = loader_cls(train_set, card.bs,
+                              multi_collate_fn(train_tok, label_vocab),
                               shuffle=True, drop_last=True,
                               num_workers=card.num_workers, seed=card.seed)
-    valid_loader = loader_cls(test_set, card.bs, multi_collate_fn(valid_tok),
+    valid_loader = loader_cls(test_set, card.bs,
+                              multi_collate_fn(valid_tok, label_vocab),
                               shuffle=True, drop_last=True,
                               num_workers=card.num_workers,
                               seed=card.seed + 1)
@@ -206,7 +221,8 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
 
     # init from a throwaway loader so the training loader's epoch state
     # (and, for GrainLoader, its persistent worker stream) is untouched
-    init_loader = Loader(train_set, card.bs, multi_collate_fn(train_tok),
+    init_loader = Loader(train_set, card.bs,
+                         multi_collate_fn(train_tok, label_vocab),
                          shuffle=True, drop_last=True, num_workers=1,
                          seed=card.seed)
     sample = put_fn(next(iter(init_loader)))

@@ -54,3 +54,26 @@ def test_method_loss_and_grads(coord, needs_label):
         gnorm = sum(float(jnp.sum(jnp.abs(g)))
                     for g in jax.tree.leaves(grads))
         assert gnorm > 0
+
+
+def test_arcface_end_to_end_via_driver(synthetic_dataset, tmp_path):
+    """method: arcface trains through train_multi: labels wired through the
+    collate, out_features derived from the training classes."""
+    import yaml
+    from multimodal_plankton_recognition_tpu.train.drivers import train_multi
+
+    card = {
+        "bs": 4, "dim_embedding": 8, "target_size": 32, "buckets": 2,
+        "num_workers": 1, "patience": 5,
+        "image_encoder_args": {"name": "resnet18", "metadata": True},
+        "profile_encoder_args": {"kind": "cnn", "dim_in": 6,
+                                 "blocks": [1, 1, 1, 1], "base_channels": 8},
+        "coordination_args": {"method": "arcface"},
+        "optim_args": {"lr": 1e-2, "momentum": 0.9, "weight_decay": 0.0,
+                       "nesterov": True},
+        "trainer_args": {"precision": "32", "min_epochs": 1, "max_epochs": 2},
+    }
+    path = tmp_path / "arc.yaml"
+    path.write_text(yaml.safe_dump(card))
+    res = train_multi(synthetic_dataset, path, logdir=tmp_path / "l")
+    assert np.isfinite([h["train_loss"] for h in res["history"]]).all()

@@ -68,3 +68,26 @@ def test_exact_hit_inf_weight():
     # but the d=0 hit takes all the mass
     pred = clf.predict(np.array([[0.0, 0]], np.float32), k=3)
     assert pred[0] == 0
+
+
+def test_run_suite_tolerates_unknown_classes():
+    """Labels absent from the checkpoint's class vocabulary (e.g. rare
+    classes the split excluded from training) are thresholded away instead
+    of crashing coder.transform."""
+    from multimodal_plankton_recognition_tpu.retrieval.benchmark import (
+        run_suite,
+    )
+    rs = np.random.RandomState(0)
+    n = 40
+    labels = np.array(["a"] * 18 + ["b"] * 18 + ["rare"] * 4)
+    entry = {
+        "image": rs.randn(n, 8).astype(np.float32),
+        "profile": rs.randn(n, 8).astype(np.float32),
+        "label": labels,
+        "classes": np.array(["a", "b"]),  # 'rare' unseen at train time
+    }
+    results = run_suite({"m": {1: entry}}, mode="raw", N=(2,), K=(1,),
+                        repeats=1, th=10, seed=0)
+    preds = results["m"][1][2][0]
+    # rare class thresholded out of gallery AND queries
+    assert "rare" not in set(preds["true"])

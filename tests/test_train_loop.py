@@ -137,11 +137,10 @@ def test_classifier_training_and_checkpoint(synthetic_dataset, tmp_path):
 def test_early_stopping_semantics():
     es = EarlyStopping(monitor="valid_loss", mode="min", patience=2)
     assert not es.update(1.0)
-    assert not es.update(float("nan"))   # check_finite=False: tolerated
+    assert not es.update(float("nan"))   # check_finite=False: tolerated, 1 bad
     assert not es.update(0.9)            # improvement resets
-    assert not es.update(1.1)
-    assert not es.update(1.2)
-    assert es.update(1.3)                # patience exceeded
+    assert not es.update(1.1)            # 1 bad epoch
+    assert es.update(1.2)                # 2 bad epochs == patience (Lightning)
 
 
 def test_device_augment_training(synthetic_dataset):
@@ -163,3 +162,42 @@ def test_device_augment_training(synthetic_dataset):
     assert np.isfinite(losses).all()
     # tiny data + stochastic on-device augmentation: require overall descent
     assert min(losses[1:]) < losses[0]
+
+
+def test_load_from_checkpoint_restores_best_not_latest(synthetic_dataset,
+                                                       tmp_path):
+    """With save_top_k > 1, one-call restore must rank by the monitored
+    metric (was: a fresh orbax manager without best_fn returned latest)."""
+    from multimodal_plankton_recognition_tpu.train.checkpoint import (
+        read_metadata,
+    )
+    card = ModelCard.from_dict({
+        "bs": 4, "num_workers": 1,
+        "image_encoder_args": {"name": "resnet18", "metadata": True},
+        "trainer_args": {"precision": "32"},
+    })
+    model = build.build_image_classifier(card, ["a", "b", "c"])
+    tx = make_optimizer(card.optim_args)
+    rs = np.random.RandomState(0)
+    inputs = {"image": jnp.asarray(rs.randn(4, 32, 32, 1), jnp.float32),
+              "image_shape": jnp.ones((4, 2), jnp.int32)}
+    state = create_train_state(model, jax.random.key(0), inputs, tx)
+
+    ckpt = CheckpointManager(tmp_path / "ck", monitor="valid_acc",
+                             mode="max", save_top_k=3,
+                             metadata={"card": card.to_dict(),
+                                       "kind": "image",
+                                       "class_names": ["a", "b", "c"]})
+    # best at epoch 1, NOT the latest (epoch 2)
+    for epoch, acc in [(0, 0.2), (1, 0.9), (2, 0.5)]:
+        marked = state.replace(step=epoch)
+        assert ckpt.save(epoch, marked, {"valid_acc": acc})
+    ckpt.wait()
+    assert ckpt.best_step() == 1
+    assert read_metadata(tmp_path / "ck")["_monitor"] == "valid_acc"
+
+    _, variables, meta = load_from_checkpoint(tmp_path / "ck")
+    # restored params come from the step-1 state (step field saved alongside)
+    restored = CheckpointManager(tmp_path / "ck", monitor="valid_acc",
+                                 mode="max").restore()
+    assert restored["step"] == 1

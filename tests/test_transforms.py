@@ -142,3 +142,14 @@ class TestPairAugmentation:
         if not np.array_equal(i2, img):
             np.testing.assert_array_equal(i2, img[:, ::-1])
             np.testing.assert_array_equal(p2, prof[::-1])
+
+
+def test_resample_empty_profile():
+    """Zero-row profiles (all rows dropped by preprocess positivity filter)
+    resample to silence instead of crashing."""
+    out = T.resample_linear(np.zeros((0, 6), np.float32), 16)
+    assert out.shape == (16, 6)
+    assert (out == 0).all()
+    # and through the transform classes
+    out = T.ProfileTransformTest(16)(np.zeros((0, 6)))
+    assert out.shape == (16, 6) and np.isfinite(out).all()
