@@ -50,7 +50,8 @@ class _BatchSource:
 
     def __init__(self, dataset, batch_size: int, collate_fn: Callable,
                  shuffle: bool, drop_last: bool, seed: int,
-                 batches_per_epoch: int, max_epochs: int) -> None:
+                 batches_per_epoch: int, max_epochs: int,
+                 start_record: int = 0) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -59,10 +60,11 @@ class _BatchSource:
         self.seed = seed
         self.batches_per_epoch = batches_per_epoch
         self.max_epochs = max_epochs
+        self.start_record = start_record
         self._order_cache: Dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
-        return self.batches_per_epoch * self.max_epochs
+        return self.batches_per_epoch * self.max_epochs - self.start_record
 
     def _order(self, epoch: int) -> np.ndarray:
         if epoch not in self._order_cache:
@@ -73,7 +75,7 @@ class _BatchSource:
         return self._order_cache[epoch]
 
     def __getitem__(self, r: int) -> Dict[str, np.ndarray]:
-        epoch, b = divmod(int(r), self.batches_per_epoch)
+        epoch, b = divmod(int(r) + self.start_record, self.batches_per_epoch)
         order = self._order(epoch)
         idx = order[b * self.batch_size:(b + 1) * self.batch_size]
         samples = []
@@ -113,6 +115,7 @@ class GrainLoader:
         self.prefetch_batches = prefetch_batches
         self.max_epochs = max_epochs
         self._iterator = None
+        self._next_record = 0  # global record id the iterator will yield next
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -121,12 +124,13 @@ class GrainLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _build_iterator(self):
+    def _build_iterator(self, start_record: int = 0):
         import grain.python as gp
 
         source = _BatchSource(
             self.dataset, self.batch_size, self.collate_fn, self.shuffle,
-            self.drop_last, self.seed, len(self), self.max_epochs)
+            self.drop_last, self.seed, len(self), self.max_epochs,
+            start_record=start_record)
         sampler = gp.IndexSampler(
             num_records=len(source), shard_options=gp.NoSharding(),
             shuffle=False, num_epochs=1, seed=self.seed)
@@ -157,24 +161,42 @@ class GrainLoader:
         if self._local_slice is not None:
             yield from self._iter_host_shard()
             return
-        if self._iterator is None:
-            self._iterator = self._build_iterator()
+        # realign: if the previous epoch was not fully drained (consumer
+        # break / exception / early stop), the persistent stream sits
+        # mid-epoch — rebuild it at this epoch's first record so batches
+        # stay on the deterministic (seed, epoch) schedule
+        expected = self.epoch * len(self)
+        if self._iterator is None or self._next_record != expected:
+            self._iterator = self._build_iterator(start_record=expected)
+            self._next_record = expected
         for _ in range(len(self)):
-            yield next(self._iterator)
-        self.epoch += 1
+            item = next(self._iterator)
+            # bookkeep BEFORE yield: a consumer that stops exactly at the
+            # last batch (zip(...) never resumes the generator) must count
+            # as a fully-drained epoch, not an early break
+            self._next_record += 1
+            if self._next_record == (self.epoch + 1) * len(self):
+                self.epoch += 1
+            yield item
 
     def _iter_host_shard(self):
         """Host-sharded mode: each host loads its contiguous slice of every
         identically-shuffled global batch (cf. Loader.host_shard)."""
         p, nproc = self._local_slice
-        local_bs = self.batch_size // nproc
         epoch = self.epoch
         self.epoch += 1
         order = _epoch_order(len(self.dataset), self.batch_size,
                              self.shuffle, self.drop_last, self.seed, epoch)
         for b in range(len(self)):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-            idx = idx[p * local_bs:(p + 1) * local_bs]
+            # slice from the ACTUAL batch length so a trailing partial batch
+            # (drop_last=False) divides evenly across hosts instead of giving
+            # host 0 the leftovers and later hosts an empty list (matches
+            # Loader.host_shard, pipeline.py)
+            local = len(idx) // nproc
+            if local == 0:  # partial batch smaller than host count
+                continue
+            idx = idx[p * local:(p + 1) * local]
             samples = []
             for i in idx:
                 rng = np.random.default_rng(

@@ -110,6 +110,8 @@ class Loader:
                         if self.host_shard is not None:
                             p, n = self.host_shard
                             local = len(idx) // n
+                            if local == 0:  # partial batch < host count:
+                                continue    # skip consistently on all hosts
                             idx = idx[p * local:(p + 1) * local]
                         samples = list(pool.map(
                             lambda i: self._load_sample(epoch, i), idx))

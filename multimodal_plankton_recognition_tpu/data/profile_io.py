@@ -50,12 +50,14 @@ def _parse_python(text: str) -> np.ndarray:
     lines = text.splitlines()
     if not lines:
         return np.zeros((0, 6), dtype=np.float32)
-    rows = lines[1:]  # skip header
-    flat = ",".join(r for r in rows if r)
-    if not flat:
+    rows = [r for r in lines[1:] if r]  # skip header + blank lines
+    if not rows:
         ncols = len(lines[0].split(","))
         return np.zeros((0, ncols), dtype=np.float32)
+    flat = ",".join(rows)
     arr = np.array(flat.split(","), dtype=np.float32)
+    # ncols from the first non-empty DATA row (the same filtered list that
+    # built `flat`) — a leading blank line must not collapse ncols to 1
     ncols = len(rows[0].split(","))
     return arr.reshape(-1, ncols)
 

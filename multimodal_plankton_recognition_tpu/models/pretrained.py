@@ -45,28 +45,46 @@ def save_params_npz(params: Dict[str, Any], path: str | Path) -> None:
 
 
 def load_pretrained_npz(params: Dict[str, Any], path: str | Path,
-                        strict: bool = False
+                        strict: bool = False, batch_stats=None
                         ) -> Tuple[Dict[str, Any], Dict[str, int]]:
     """Merge npz weights into ``params`` by path; shape-mismatched or
     unknown keys are skipped (reported in the stats dict) unless ``strict``.
 
-    Returns (merged_params, stats) with stats keys loaded/skipped/missing.
+    npz keys may carry a collection namespace: ``params/<path>`` merges into
+    ``params``, ``batch_stats/<path>`` into ``batch_stats`` (BatchNorm
+    running statistics, produced by the timm converter); bare keys are
+    treated as params for backward compatibility.
+
+    Returns ``(merged_params, stats)``, or
+    ``(merged_params, merged_batch_stats, stats)`` when ``batch_stats`` is
+    given. stats keys: loaded / skipped / missing.
     """
     flat = flatten_params(params)
+    flat_bs = flatten_params(batch_stats or {})
     npz = np.load(path)
     loaded = skipped = 0
     for key in npz.files:
-        if key in flat and flat[key].shape == npz[key].shape:
-            flat[key] = npz[key].astype(np.asarray(flat[key]).dtype)
+        target, k = flat, key
+        if key.startswith("params/"):
+            k = key[len("params/"):]
+        elif key.startswith("batch_stats/"):
+            target, k = flat_bs, key[len("batch_stats/"):]
+            if batch_stats is None:  # caller tracks no running stats
+                skipped += 1
+                continue
+        if k in target and target[k].shape == npz[key].shape:
+            target[k] = npz[key].astype(np.asarray(target[k]).dtype)
             loaded += 1
         else:
             if strict:
                 raise KeyError(
                     f"npz key {key!r} "
                     + ("missing from model"
-                       if key not in flat else
-                       f"shape {npz[key].shape} != {flat[key].shape}"))
+                       if k not in target else
+                       f"shape {npz[key].shape} != {target[k].shape}"))
             skipped += 1
-    missing = len(flat) - loaded
-    return unflatten_params(flat), {
-        "loaded": loaded, "skipped": skipped, "missing": missing}
+    missing = len(flat) + len(flat_bs) - loaded
+    stats = {"loaded": loaded, "skipped": skipped, "missing": missing}
+    if batch_stats is not None:
+        return unflatten_params(flat), unflatten_params(flat_bs), stats
+    return unflatten_params(flat), stats

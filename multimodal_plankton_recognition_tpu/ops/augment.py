@@ -69,10 +69,19 @@ def gaussian_noise(x: jnp.ndarray, rng: jax.Array,
 
 
 def multi_train_augment(batch: Dict[str, jnp.ndarray], target_size: int,
-                        rng: jax.Array) -> Dict[str, jnp.ndarray]:
+                        rng: jax.Array,
+                        kind: str = "cnn") -> Dict[str, jnp.ndarray]:
     """Device-side tail of the train_multi augmentation pipeline. Expects the
     host to deliver oversized deterministic inputs: image (B, OS, OS, 1) in
-    [-1, 1], profile (B, OS, D) normalized (OS = ceil(1.05 * target))."""
+    [-1, 1], profile (B, OS, D) normalized (OS = ceil(1.05 * target)).
+
+    ``kind`` selects the profile encoder's tokenize contract, rebuilt here
+    AFTER the temporal crop (the host tokenizer cannot know crop outcomes):
+    every profile is exactly ``target_size`` long post-crop, so the
+    transformer gets a zero CLS row + dense position ids + all-False padding
+    mask, and the LSTM gets ``last_idx = target_size - 1`` — identical to
+    what the host path produces for fixed-length resampled profiles
+    (data/tokenize.py; reference: src/profile_encoder.py:38-54, 86-94)."""
     r_img, r_prof, r_vflip, r_joint, r_noise = jax.random.split(rng, 5)
     image = random_crop_2d(batch["image"], target_size, r_img)
     image = random_vertical_flip(image, r_vflip)
@@ -81,5 +90,17 @@ def multi_train_augment(batch: Dict[str, jnp.ndarray], target_size: int,
     image, profile = joint_horizontal_flip(image, profile, r_joint)
     out = dict(batch)
     out["image"] = image
-    out["profile"] = profile
+    b = profile.shape[0]
+    if kind == "transformer":
+        cls = jnp.zeros((b, 1, profile.shape[-1]), profile.dtype)
+        out["profile"] = jnp.concatenate([cls, profile], axis=1)
+        out["time"] = jnp.broadcast_to(
+            jnp.arange(target_size + 1, dtype=jnp.int32),
+            (b, target_size + 1))
+        out["padding_mask"] = jnp.zeros((b, target_size + 1), bool)
+    elif kind == "lstm":
+        out["profile"] = profile
+        out["last_idx"] = jnp.full((b,), target_size - 1, jnp.int32)
+    else:
+        out["profile"] = profile
     return out

@@ -30,8 +30,12 @@ class CheckpointManager:
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
+        # Lightning ModelCheckpoint semantics (reference
+        # scripts/train_multi.py:89-94): save_top_k=0 -> save nothing,
+        # save_top_k=-1 -> keep every checkpoint, k>0 -> keep best k.
+        self._disabled = save_top_k == 0
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=max(1, save_top_k),
+            max_to_keep=None if save_top_k < 0 else max(1, save_top_k),
             best_fn=(lambda m: m[monitor]) if save_top_k > 0 else None,
             best_mode=mode,
         )
@@ -46,6 +50,8 @@ class CheckpointManager:
     def save(self, epoch: int, state, metrics: Dict[str, float]) -> bool:
         """Save iff the monitored metric was produced this epoch and is
         finite (orbax best_fn cannot rank NaN)."""
+        if self._disabled:  # save_top_k=0: save nothing (Lightning parity)
+            return False
         value = metrics.get(self.monitor)
         if value is None or not np.isfinite(value):
             return False

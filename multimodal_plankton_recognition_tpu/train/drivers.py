@@ -104,12 +104,16 @@ def _maybe_load_pretrained(state, card: ModelCard):
     path = args.get("pretrained_path")
     if not path:
         print("pretrained: true but no pretrained_path given; "
-              "training from scratch")
+              "training from scratch (produce an npz with "
+              "scripts/convert_timm.py)")
         return state
     from ..models.pretrained import load_pretrained_npz
-    params, stats = load_pretrained_npz(state.params, path)
+    params, batch_stats, stats = load_pretrained_npz(
+        state.params, path, batch_stats=state.batch_stats or {})
     print(f"loaded pretrained weights from {path}: {stats}")
-    return state.replace(params=params)
+    return state.replace(params=params,
+                         batch_stats=batch_stats if state.batch_stats
+                         else state.batch_stats)
 
 
 def _maybe_resume(state, resume):
@@ -186,14 +190,16 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
                         ImageTransformTest(ts), ProfileTransformTest(ts))
 
     kind = _profile_kind(card)
-    if card.device_augment and kind != "cnn":
-        raise ValueError(
-            "device_augment currently supports the 'cnn' profile encoder "
-            "only (transformer/lstm tokenization embeds CLS/position/"
-            "last-index structure that an on-device crop would invalidate)")
     train_len = card.oversize if card.device_augment else ts
-    train_tok = tokenize.get_tokenizer(
-        kind, ts, pad_to=train_len + 1 if kind == "transformer" else train_len)
+    if card.device_augment:
+        # host collate delivers a plain (B, oversize, D) stack; the jitted
+        # step crops on device and rebuilds the kind's tokenize fields
+        # (CLS/time/padding_mask/last_idx) — ops/augment.multi_train_augment
+        train_tok = tokenize.get_tokenizer("cnn", ts, pad_to=train_len)
+    else:
+        train_tok = tokenize.get_tokenizer(
+            kind, ts,
+            pad_to=train_len + 1 if kind == "transformer" else train_len)
     valid_tok = tokenize.get_tokenizer(
         kind, ts, pad_to=ts + 1 if kind == "transformer" else ts)
     # ArcFace is label-supervised: wire class ids through the collate and
@@ -219,6 +225,11 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
                         card.trainer_args.accumulate_grad_batches)
     mesh, put_fn, place_state = _setup_mesh(card)
 
+    augment_fn = None
+    if card.device_augment:
+        from ..ops.augment import multi_train_augment
+        augment_fn = lambda b, r: multi_train_augment(b, ts, r, kind=kind)
+
     # init from a throwaway loader so the training loader's epoch state
     # (and, for GrainLoader, its persistent worker stream) is untouched
     init_loader = Loader(train_set, card.bs,
@@ -226,6 +237,10 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
                          shuffle=True, drop_last=True, num_workers=1,
                          seed=card.seed)
     sample = put_fn(next(iter(init_loader)))
+    if augment_fn is not None:
+        # init with post-augment shapes (the transformer/lstm tokenize
+        # fields only exist after the on-device crop)
+        sample = augment_fn(sample, jax.random.key(card.seed))
     state = create_train_state(model, jax.random.key(card.seed), sample, tx,
                                init_kwargs={"buckets": card.buckets})
     state = _maybe_load_pretrained(state, card)
@@ -235,10 +250,6 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
     # global negatives: the whole (sharded) batch is one contrastive group
     negatives = (card.coordination_args or {}).get("negatives", "bucketed")
     buckets = 1 if negatives == "global" else card.buckets
-    augment_fn = None
-    if card.device_augment:
-        from ..ops.augment import multi_train_augment
-        augment_fn = lambda b, r: multi_train_augment(b, ts, r)
     train_step, eval_step = make_multi_steps(model, tx, buckets,
                                              augment_fn=augment_fn)
 
@@ -334,6 +345,7 @@ def _train_classifier(kind: str, dataset: str | Path,
                     early_stopping=stopper,
                     min_epochs=card.trainer_args.min_epochs,
                     max_epochs=card.trainer_args.max_epochs,
+                    check_val_every_n_epoch=card.trainer_args.check_val_every_n_epoch,
                     seed=card.seed, put_fn=put_fn,
                     hooks={"on_epoch_end": profiler.stop_after_first_epoch})
     profiler.start()

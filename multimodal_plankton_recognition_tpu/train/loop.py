@@ -168,14 +168,18 @@ class Fitter:
         self.history: list[Dict[str, float]] = []
 
     def _eval_epoch(self, state: TrainState, loader) -> Dict[str, float]:
+        # keep everything on device during the loop — a float()/np.asarray
+        # per batch is a host sync that serializes validation (costly over a
+        # remote-TPU tunnel); fetch ONCE per epoch below
         losses, preds, labels = [], [], []
         for batch in loader:
             batch = self.put_fn(batch)
             out = self.eval_step(state, batch)
-            losses.append(float(out["loss"]))
+            losses.append(out["loss"])
             if "pred" in out:
-                preds.append(np.asarray(out["pred"]))
-                labels.append(np.asarray(out["label"]))
+                preds.append(out["pred"])
+                labels.append(out["label"])
+        losses, preds, labels = jax.device_get((losses, preds, labels))
         metrics = {"valid_loss": float(np.mean(losses)) if losses else float("nan")}
         if preds:
             p = np.concatenate(preds)

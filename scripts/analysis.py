@@ -183,6 +183,9 @@ def cmd_embed(emb_path, out, method="tsne", fold=None) -> None:
         X = X - X.mean(0)
         _, _, vt = np.linalg.svd(X, full_matrices=False)
         proj = X @ vt[:2].T
+    elif method == "pacmap":
+        from multimodal_plankton_recognition_tpu.ops.pacmap import pacmap
+        proj = pacmap(X, n_components=2, seed=0)
     else:
         from sklearn.manifold import TSNE
         proj = TSNE(n_components=2, random_state=0,
@@ -211,7 +214,8 @@ def main() -> None:
     parser.add_argument("-d", "--dataset", action="append", default=[])
     parser.add_argument("-e", "--embeddings", default=None)
     parser.add_argument("-o", "--output", default="analysis.png")
-    parser.add_argument("--method", default="tsne", choices=["tsne", "pca"])
+    parser.add_argument("--method", default="tsne",
+                        choices=["tsne", "pca", "pacmap"])
     parser.add_argument("--fold", type=int, default=None)
     args = parser.parse_args()
 

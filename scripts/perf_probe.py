@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""Component-level TPU perf probe for the flagship pretraining step.
+
+Times each piece of the hot path with the honest scan+fetch protocol
+(K steps inside one jitted lax.scan dispatch, carry-dependent body, forced
+np.asarray fetch — per-dispatch host timing over the axon tunnel resolves
+early and cannot be trusted). Used to direct MFU work (VERDICT r1 #2);
+results recorded in docs/PERF.md.
+
+Usage: python scripts/perf_probe.py [probe ...]
+  (default: all probes)
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from functools import partial
+
+import numpy as np
+
+K = 20
+REPS = 3
+
+
+def _time_scan(fn, *args) -> float:
+    """Median wall seconds for one jitted K-step scan dispatch of fn."""
+    import jax
+
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[-1])  # compile + warm
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[-1])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _batch(bs, img=224, plen=224, img_dtype=None):
+    import jax.numpy as jnp
+    rs = np.random.RandomState(0)
+    img_dtype = img_dtype or jnp.float32
+    return {
+        "image": jnp.asarray(rs.randn(bs, img, img, 1), img_dtype),
+        "image_shape": jnp.asarray(rs.randint(50, 400, (bs, 2)), jnp.int32),
+        "profile": jnp.asarray(rs.randn(bs, plen, 6), jnp.float32),
+        "profile_len": jnp.asarray(rs.randint(20, 2000, (bs, 1)), jnp.int32),
+    }
+
+
+def _flagship(dim_embed=512, **enc_kw):
+    import jax.numpy as jnp
+    from multimodal_plankton_recognition_tpu.models import MultiModel
+    return MultiModel(
+        dim_embed=dim_embed,
+        image_encoder_args={"name": "efficientnet_b0", "in_chans": 1,
+                            "metadata": True, **enc_kw},
+        profile_encoder_args={"kind": "cnn", "dim_in": 6,
+                              "blocks": (2, 2, 2, 2), "base_channels": 32},
+        coordination_args={"method": "clip", "fused": True},
+        dtype=jnp.bfloat16,
+    )
+
+
+def probe_train_step(bs, img_dtype=None, label=""):
+    """Full train step (fwd+bwd+SGD), bucket_size fixed at 16."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_plankton_recognition_tpu.config import OptimConfig
+    from multimodal_plankton_recognition_tpu.train import (
+        make_optimizer, create_train_state, make_multi_steps,
+    )
+
+    buckets = bs // 16
+    model = _flagship()
+    batch = _batch(bs, img_dtype=img_dtype)
+    tx = make_optimizer(OptimConfig(lr=5e-3, momentum=0.9,
+                                    weight_decay=1e-3, nesterov=True))
+    state = create_train_state(model, jax.random.key(0), batch, tx,
+                               init_kwargs={"buckets": buckets})
+    train_step, _ = make_multi_steps(model, tx, buckets=buckets)
+    inner = train_step.__wrapped__
+
+    @jax.jit
+    def run_k(state, batch, rng):
+        def body(s, i):
+            s2, loss = inner(s, batch, jax.random.fold_in(rng, i))
+            return s2, loss
+        return jax.lax.scan(body, state, jnp.arange(K))
+
+    dt = _time_scan(run_k, state, batch, jax.random.key(1))
+    ms = dt / K * 1e3
+    print(f"train_step bs={bs}{label}: {ms:.2f} ms/step, "
+          f"{bs * K / dt:,.0f} pairs/s", flush=True)
+
+
+def _bwd_probe(name, apply_fn, params, x):
+    """fwd+bwd of apply_fn wrt params; carry = params so nothing hoists."""
+    import jax
+    import jax.numpy as jnp
+
+    def loss_fn(p, x):
+        return jnp.sum(apply_fn(p, x).astype(jnp.float32) ** 2)
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def run_k(params, x):
+        def body(p, i):
+            loss, g = grad_fn(p, x)
+            p2 = jax.tree.map(lambda a, b: a - 1e-9 * b, p, g)
+            return p2, loss
+        return jax.lax.scan(body, params, jnp.arange(K))
+
+    dt = _time_scan(run_k, params, x)
+    bs = x.shape[0]
+    print(f"{name} bs={bs}: {dt / K * 1e3:.2f} ms/step, "
+          f"{bs * K / dt:,.0f} samples/s", flush=True)
+
+
+def probe_image_encoder(bs, variant=None):
+    import jax
+    import jax.numpy as jnp
+    from multimodal_plankton_recognition_tpu.models.image.registry import (
+        create_backbone,
+    )
+    name = variant or "efficientnet_b0"
+    enc = create_backbone(name, in_chans=1, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(0).randn(bs, 224, 224, 1),
+                    jnp.float32)
+    variables = enc.init(jax.random.key(0), x, train=False)
+
+    def apply_fn(params, x):
+        out, _ = enc.apply({"params": params,
+                            "batch_stats": variables.get("batch_stats", {})},
+                           x, train=True, mutable=["batch_stats"])
+        return out
+
+    if "batch_stats" not in variables:
+        def apply_fn(params, x):  # noqa: F811 (ViT: no BN)
+            return enc.apply({"params": params}, x, train=False)
+    _bwd_probe(f"{name} fwd+bwd", apply_fn, variables["params"], x)
+
+
+def probe_profile_encoder(bs):
+    import jax
+    import jax.numpy as jnp
+    from multimodal_plankton_recognition_tpu.models.profile.cnn import (
+        ProfileCNN,
+    )
+    enc = ProfileCNN(dim_in=6, blocks=(2, 2, 2, 2), base_channels=32,
+                     dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(0).randn(bs, 224, 6), jnp.float32)
+    variables = enc.init(jax.random.key(0), profile=x, train=False)
+
+    def apply_fn(params, x):
+        out, _ = enc.apply({"params": params,
+                            "batch_stats": variables["batch_stats"]},
+                           profile=x, train=True, mutable=["batch_stats"])
+        return out
+
+    _bwd_probe(f"profile_cnn fwd+bwd", apply_fn, variables["params"], x)
+
+
+PROBES = {
+    "train256": partial(probe_train_step, 256),
+    "train512": partial(probe_train_step, 512),
+    "train1024": partial(probe_train_step, 1024),
+    "b0_256": partial(probe_image_encoder, 256),
+    "b0_1024": partial(probe_image_encoder, 1024),
+    "vit_256": partial(probe_image_encoder, 256, "vit_tiny_patch16_224"),
+    "cnn_256": partial(probe_profile_encoder, 256),
+}
+
+
+def main():
+    from multimodal_plankton_recognition_tpu import enable_compilation_cache
+    enable_compilation_cache()
+    names = sys.argv[1:] or list(PROBES)
+    for n in names:
+        PROBES[n]()
+
+
+if __name__ == "__main__":
+    main()

@@ -62,3 +62,77 @@ def test_multi_train_augment_jits():
     out2 = fn(batch, jax.random.key(3))
     np.testing.assert_array_equal(np.asarray(out["image"]),
                                   np.asarray(out2["image"]))
+
+
+def _oversize_batch(b=4, os_=34):
+    rs = np.random.RandomState(1)
+    return {
+        "image": jnp.asarray(rs.randn(b, os_, os_, 1), jnp.float32),
+        "profile": jnp.asarray(rs.randn(b, os_, 6), jnp.float32),
+        "image_shape": jnp.ones((b, 2), jnp.int32),
+        "profile_len": jnp.ones((b, 1), jnp.int32),
+    }
+
+
+def test_multi_train_augment_transformer_fields():
+    """Post-crop tokenize fields must match what the host tokenizer emits
+    for fixed-length (target_size) profiles (data/tokenize.py)."""
+    from multimodal_plankton_recognition_tpu.data import tokenize
+
+    batch = _oversize_batch()
+    fn = jax.jit(lambda b, r: augment.multi_train_augment(
+        b, 32, r, kind="transformer"))
+    out = fn(batch, jax.random.key(0))
+    assert out["profile"].shape == (4, 33, 6)
+    np.testing.assert_array_equal(np.asarray(out["profile"][:, 0]), 0.0)  # CLS
+
+    host = tokenize.tokenize_transformer(
+        [np.zeros((32, 6), np.float32)] * 4, target_size=32, pad_to=33)
+    np.testing.assert_array_equal(np.asarray(out["time"]), host["time"])
+    np.testing.assert_array_equal(np.asarray(out["padding_mask"]),
+                                  host["padding_mask"])
+
+
+def test_multi_train_augment_lstm_fields():
+    from multimodal_plankton_recognition_tpu.data import tokenize
+
+    batch = _oversize_batch()
+    fn = jax.jit(lambda b, r: augment.multi_train_augment(
+        b, 32, r, kind="lstm"))
+    out = fn(batch, jax.random.key(0))
+    assert out["profile"].shape == (4, 32, 6)
+    host = tokenize.tokenize_lstm([np.zeros((32, 6), np.float32)] * 4,
+                                  pad_to=32)
+    np.testing.assert_array_equal(np.asarray(out["last_idx"]),
+                                  host["last_idx"])
+
+
+def test_device_augment_trains_all_profile_kinds(synthetic_dataset, tmp_path):
+    """device_augment: true must train with every profile encoder family
+    (VERDICT r1 item 6; removes the r1 hard-raise for transformer/lstm)."""
+    import yaml
+    from multimodal_plankton_recognition_tpu.train.drivers import train_multi
+
+    base = {
+        "bs": 4, "dim_embedding": 8, "target_size": 32, "buckets": 2,
+        "num_workers": 1, "patience": 3, "save_top_k": 1,
+        "device_augment": True,
+        "image_encoder_args": {"name": "resnet18", "metadata": True},
+        "coordination_args": {"method": "clip"},
+        "optim_args": {"lr": 1e-2, "momentum": 0.9, "weight_decay": 1e-4,
+                       "nesterov": True},
+        "trainer_args": {"precision": "32", "min_epochs": 1, "max_epochs": 1},
+    }
+    encoders = {
+        "transformer": {"kind": "transformer", "dim_in": 6, "dim_hidden": 16,
+                        "num_head": 2, "num_layers": 1, "target_size": 32},
+        "lstm": {"kind": "lstm", "dim_in": 6, "dim_hidden": 16,
+                 "num_layers": 1},
+    }
+    for name, enc in encoders.items():
+        card = dict(base, profile_encoder_args=enc)
+        card_path = tmp_path / f"{name}.yaml"
+        card_path.write_text(yaml.safe_dump(card))
+        result = train_multi(synthetic_dataset, card_path,
+                             logdir=tmp_path / f"logs_{name}")
+        assert np.isfinite(result["history"][0]["train_loss"]), name

@@ -151,3 +151,31 @@ def test_grain_loader_host_shard(synthetic_dataset):
     for bf, b0, b1 in zip(full, h0, h1):
         np.testing.assert_array_equal(
             np.concatenate([b0["image"], b1["image"]]), bf["image"])
+
+
+def test_grain_loader_early_break_realigns(synthetic_dataset):
+    """Breaking out of an epoch mid-stream must not shift later epochs off
+    the deterministic (seed, epoch) schedule (ADVICE r1): the loader rebuilds
+    its stream at the current epoch's first record."""
+    from multimodal_plankton_recognition_tpu.data.grain_pipeline import (
+        GrainLoader,
+    )
+    ds = MultiSet(synthetic_dataset / "train.csv",
+                  ImageTransformTrain(32), ProfileTransformTrain(32),
+                  PairAugmentation())
+    collate = multi_collate_fn(tokenize.get_tokenizer("cnn", 32, pad_to=32))
+    ref = GrainLoader(ds, 4, collate, shuffle=True, drop_last=True,
+                      num_workers=0, seed=11)
+    golden = [[b["image"] for b in ref] for _ in range(2)]  # epochs 0, 1
+
+    l2 = GrainLoader(ds, 4, collate, shuffle=True, drop_last=True,
+                     num_workers=0, seed=11)
+    for b in l2:  # early break: consume only 1 batch of epoch 0
+        first = b["image"]
+        break
+    np.testing.assert_array_equal(first, golden[0][0])
+    # epoch 0 replays from its start, then epoch 1 follows the schedule
+    for got, want in zip(l2, golden[0]):
+        np.testing.assert_array_equal(got["image"], want)
+    for got, want in zip(l2, golden[1]):
+        np.testing.assert_array_equal(got["image"], want)

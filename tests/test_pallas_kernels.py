@@ -115,47 +115,3 @@ def test_multimodel_fused_coordination_matches_unfused():
                      rngs={"dropout": jax.random.key(1)}, **batch)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
 
-
-class TestFusedConv1d:
-    def _data(self, B=4, L=32, Cin=16, Cout=32, seed=0):
-        rs = np.random.RandomState(seed)
-        x = jnp.asarray(rs.randn(B, L, Cin), jnp.float32)
-        w = jnp.asarray(rs.randn(3, Cin, Cout) * 0.1, jnp.float32)
-        scale = jnp.asarray(rs.rand(Cout) + 0.5, jnp.float32)
-        bias = jnp.asarray(rs.randn(Cout) * 0.1, jnp.float32)
-        return x, w, scale, bias
-
-    @pytest.mark.parametrize("stride", [1, 2])
-    def test_matches_xla_reference(self, stride):
-        from multimodal_plankton_recognition_tpu.ops.pallas.conv1d import (
-            fused_conv_bn_relu_1d, conv_bn_relu_1d_reference,
-        )
-        x, w, scale, bias = self._data()
-        ours = fused_conv_bn_relu_1d(x, w, scale, bias, stride=stride,
-                                     interpret=True)
-        ref = conv_bn_relu_1d_reference(x, w, scale, bias, stride=stride)
-        assert ours.shape == ref.shape
-        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
-                                   atol=1e-5, rtol=1e-4)
-
-    def test_bn_folding(self):
-        from multimodal_plankton_recognition_tpu.ops.pallas.conv1d import (
-            fold_batchnorm, fused_conv_bn_relu_1d,
-        )
-        rs = np.random.RandomState(1)
-        Cout = 8
-        gamma = jnp.asarray(rs.rand(Cout) + 0.5, jnp.float32)
-        beta = jnp.asarray(rs.randn(Cout), jnp.float32)
-        mean = jnp.asarray(rs.randn(Cout), jnp.float32)
-        var = jnp.asarray(rs.rand(Cout) + 0.1, jnp.float32)
-        scale, bias = fold_batchnorm(gamma, beta, mean, var)
-        x, w, _, _ = self._data(Cout=Cout, seed=2)
-        ours = fused_conv_bn_relu_1d(x, w, scale, bias, interpret=True)
-        # explicit conv -> BN(running stats) -> relu
-        import jax as _jax
-        y = _jax.lax.conv_general_dilated(
-            x, w, (1,), [(1, 1)], dimension_numbers=("NHC", "HIO", "NHC"))
-        y = (y - mean) / jnp.sqrt(var + 1e-5) * gamma + beta
-        ref = _jax.nn.relu(y)
-        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
-                                   atol=1e-5, rtol=1e-4)
