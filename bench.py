@@ -18,15 +18,20 @@ per-dispatch host timing through this environment's remote-TPU tunnel is
 unreliable (its block_until_ready resolves before device completion), and a
 forced device->host value fetch cannot be faked. Minimum of 3 repetitions.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Headline fields {"metric", "value", "unit",
+"vs_baseline"} plus accountability fields (VERDICT r1 #8): "flops_per_pair"
+and "mfu" from XLA's own cost analysis of the compiled step vs the chip's
+bf16 peak, and an "extra" block with the second flagship family
+(ViT-T/16 + ProfileTransformer — the reference's other headline model,
+BASELINE.md cell-12 rows) measured the same way.
 
 Baseline: the reference publishes no throughput (BASELINE.md "Throughput:
 not published"). ``A100_BASELINE_PAIRS_PER_SEC`` is our estimate for the
 reference PyTorch stack on one A100 80GB with AMP 16-mixed at batch 64
-(EfficientNet-B0 fwd+bwd dominates; public timm/MLPerf train benchmarks put
-B0 around 1.5-2.5k img/s on A100 with channels-last AMP; the Lightning +
+(EfficientNet-B0 fwd+bwd dominates; public timm train benchmarks put B0
+around 1.5-2.5k img/s on A100 with channels-last AMP; the Lightning +
 unfused-profile-CNN + bucketed-loss stack lands mid-range), so
-vs_baseline = measured / 2000.
+vs_baseline = measured / 2000. Estimate basis detailed in BASELINE.md.
 """
 
 import json
@@ -36,6 +41,16 @@ import numpy as np
 
 A100_BASELINE_PAIRS_PER_SEC = 2000.0
 
+#: (bf16 peak TFLOP/s, HBM GB/s) per chip by device_kind substring
+#: (public TPU specs)
+_CHIP_SPECS = (
+    ("v5 lite", (197.0, 819.0)),   # v5e
+    ("v5e", (197.0, 819.0)),
+    ("v5p", (459.0, 2765.0)),
+    ("v6", (918.0, 1640.0)),       # Trillium
+    ("v4", (275.0, 1228.0)),
+)
+
 BATCH = 256
 BUCKETS = 16
 IMG = 224
@@ -44,38 +59,29 @@ K = 30      # train steps per dispatch
 REPS = 3
 
 
-def main() -> None:
+def _chip_specs() -> tuple:
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, specs in _CHIP_SPECS:
+        if sub in kind:
+            return specs
+    return (float("nan"), float("nan"))
+
+
+def _measure(model, init_kwargs, batch, tokens=()):
+    """(pairs/s, flops/pair) for one flagship model's train step."""
     import jax
     import jax.numpy as jnp
 
     from multimodal_plankton_recognition_tpu.config import OptimConfig
-    from multimodal_plankton_recognition_tpu.models import MultiModel
     from multimodal_plankton_recognition_tpu.train import (
         make_optimizer, create_train_state, make_multi_steps,
     )
 
-    model = MultiModel(
-        dim_embed=512,
-        image_encoder_args={"name": "efficientnet_b0", "in_chans": 1,
-                            "metadata": True},
-        profile_encoder_args={"kind": "cnn", "dim_in": 6,
-                              "blocks": (2, 2, 2, 2), "base_channels": 32},
-        coordination_args={"method": "clip", "fused": True},
-        dtype=jnp.bfloat16,
-    )
-
-    rs = np.random.RandomState(0)
-    batch = {
-        "image": jnp.asarray(rs.randn(BATCH, IMG, IMG, 1), jnp.float32),
-        "image_shape": jnp.asarray(rs.randint(50, 400, (BATCH, 2)), jnp.int32),
-        "profile": jnp.asarray(rs.randn(BATCH, PLEN, 6), jnp.float32),
-        "profile_len": jnp.asarray(rs.randint(20, 2000, (BATCH, 1)), jnp.int32),
-    }
-
     tx = make_optimizer(OptimConfig(lr=5e-3, momentum=0.9,
                                     weight_decay=1e-3, nesterov=True))
     state = create_train_state(model, jax.random.key(0), batch, tx,
-                               init_kwargs={"buckets": BUCKETS})
+                               init_kwargs=init_kwargs)
     train_step, _ = make_multi_steps(model, tx, buckets=BUCKETS)
     inner = train_step.__wrapped__  # unjitted step for the scan body
 
@@ -87,23 +93,109 @@ def main() -> None:
         return jax.lax.scan(body, state, jnp.arange(K))
 
     rng = jax.random.key(1)
-    state, losses = run_k(state, batch, rng)     # compile + warm
-    np.asarray(losses)
+    # FLOPs from the single-step executable: HLO cost analysis counts a
+    # scan/while body once (trip count unknown to it), so the K-step scan's
+    # number would be wrong by ~K
+    step_ca = jax.jit(inner).lower(state, batch, rng).compile() \
+        .cost_analysis() or {}
+    flops_per_pair = float(step_ca.get("flops", 0.0)) / BATCH
+    bytes_per_pair = float(step_ca.get("bytes accessed", 0.0)) / BATCH
+    compiled = run_k.lower(state, batch, rng).compile()
 
+    state, losses = compiled(state, batch, rng)     # warm
+    np.asarray(losses)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        state, losses = run_k(state, batch, rng)
-        np.asarray(losses)                        # forced host fetch
+        state, losses = compiled(state, batch, rng)
+        np.asarray(losses)                          # forced host fetch
         times.append(time.perf_counter() - t0)
     dt = min(times)
+    return BATCH * K / dt, flops_per_pair, bytes_per_pair
 
-    pairs_per_sec = BATCH * K / dt
+
+def _batch_effnet():
+    import jax.numpy as jnp
+    rs = np.random.RandomState(0)
+    return {
+        "image": jnp.asarray(rs.randn(BATCH, IMG, IMG, 1), jnp.float32),
+        "image_shape": jnp.asarray(rs.randint(50, 400, (BATCH, 2)), jnp.int32),
+        "profile": jnp.asarray(rs.randn(BATCH, PLEN, 6), jnp.float32),
+        "profile_len": jnp.asarray(rs.randint(20, 2000, (BATCH, 1)), jnp.int32),
+    }
+
+
+def _batch_vit():
+    """ViT-T + ProfileTransformer flagship: transformer tokenize contract
+    (CLS row prepended -> PLEN+1 tokens, time ids, padding mask)."""
+    import jax.numpy as jnp
+    rs = np.random.RandomState(0)
+    L = PLEN + 1
+    time_ids = np.tile(np.arange(L, dtype=np.int32), (BATCH, 1))
+    return {
+        "image": jnp.asarray(rs.randn(BATCH, IMG, IMG, 1), jnp.float32),
+        "image_shape": jnp.asarray(rs.randint(50, 400, (BATCH, 2)), jnp.int32),
+        "profile": jnp.asarray(rs.randn(BATCH, L, 6), jnp.float32),
+        "profile_len": jnp.asarray(rs.randint(20, 2000, (BATCH, 1)), jnp.int32),
+        "time": jnp.asarray(time_ids),
+        "padding_mask": jnp.zeros((BATCH, L), jnp.bool_),
+    }
+
+
+def main() -> None:
+    import jax.numpy as jnp
+    from multimodal_plankton_recognition_tpu import enable_compilation_cache
+    from multimodal_plankton_recognition_tpu.models import MultiModel
+
+    enable_compilation_cache()
+
+    effnet = MultiModel(
+        dim_embed=512,
+        image_encoder_args={"name": "efficientnet_b0", "in_chans": 1,
+                            "metadata": True},
+        profile_encoder_args={"kind": "cnn", "dim_in": 6,
+                              "blocks": (2, 2, 2, 2), "base_channels": 32},
+        coordination_args={"method": "clip", "fused": True},
+        dtype=jnp.bfloat16,
+    )
+    pairs_per_sec, flops_per_pair, bytes_per_pair = _measure(
+        effnet, {"buckets": BUCKETS}, _batch_effnet())
+    peak, hbm_gbps = _chip_specs()
+    mfu = pairs_per_sec * flops_per_pair / (peak * 1e12)
+    hbm_util = pairs_per_sec * bytes_per_pair / (hbm_gbps * 1e9)
+
+    vit = MultiModel(
+        dim_embed=512,
+        image_encoder_args={"name": "vit_tiny_patch16_224", "in_chans": 1,
+                            "metadata": True},
+        profile_encoder_args={"kind": "transformer", "dim_in": 6,
+                              "dim_hidden": 192, "num_layers": 2,
+                              "num_head": 8, "target_size": PLEN},
+        coordination_args={"method": "clip", "fused": True},
+        dtype=jnp.bfloat16,
+    )
+    try:
+        vit_pps, vit_fpp, _ = _measure(vit, {"buckets": BUCKETS},
+                                       _batch_vit())
+        vit_extra = {
+            "vit_pairs_per_sec": round(vit_pps, 2),
+            "vit_flops_per_pair": round(vit_fpp),
+            "vit_mfu": round(vit_pps * vit_fpp / (peak * 1e12), 4),
+        }
+    except Exception as e:  # the headline metric must still print
+        vit_extra = {"vit_error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "pretrain_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
+        "flops_per_pair": round(flops_per_pair),
+        "mfu": round(mfu, 4),
+        "hbm_bytes_per_pair": round(bytes_per_pair),
+        "hbm_bw_utilization": round(hbm_util, 4),
+        "chip_peak_bf16_tflops": peak,
+        "extra": vit_extra,
     }))
 
 

@@ -151,7 +151,7 @@ def _normalize_image_encoder(args: Optional[Dict[str, Any]]) -> Optional[Dict[st
     if "name" not in args:
         raise CardError("image_encoder_args requires a 'name' (backbone)")
     allowed = {"name", "pretrained", "num_classes", "in_chans", "dropout",
-               "metadata", "pretrained_path"}
+               "metadata", "pretrained_path", "fused_mbconv"}
     unknown = set(args) - allowed
     if unknown:
         raise CardError(f"image_encoder_args: unknown keys {sorted(unknown)}")

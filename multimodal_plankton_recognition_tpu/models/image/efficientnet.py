@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -53,9 +54,177 @@ class _MBConv(nn.Module):
     kernel: int
     se_ratio: float
     dtype: jnp.dtype
+    #: fused=True declares the same parameter tree but runs the whole block
+    #: through the fused Pallas kernels when training at stride 1
+    #: (ops/pallas/mbconv.py); stride-2 blocks and eval use an equivalent
+    #: jnp composition over the same parameters
+    fused: bool = False
+
+    # ---- fused path -------------------------------------------------------
+
+    def _fused_params(self, mid: int):
+        """Parameters with the exact tree structure the unfused submodules
+        would create (dict-valued leaves), so checkpoints and the timm
+        converter are layout-compatible across both modes."""
+        conv_init = nn.initializers.lecun_normal()
+        k = self.kernel
+        red = max(1, int(self.in_ch * self.se_ratio))
+        p = {}
+        if self.expand_ratio != 1:
+            p["expand_conv"] = self.param(
+                "expand_conv",
+                lambda key: {"kernel": conv_init(
+                    key, (1, 1, self.in_ch, mid), jnp.float32)})
+            p["expand_bn"] = self.param(
+                "expand_bn", lambda key: {
+                    "scale": jnp.ones((mid,), jnp.float32),
+                    "bias": jnp.zeros((mid,), jnp.float32)})
+        p["dw_conv"] = self.param(
+            "dw_conv",
+            lambda key: {"kernel": conv_init(key, (k, k, 1, mid),
+                                             jnp.float32)})
+        p["dw_bn"] = self.param(
+            "dw_bn", lambda key: {
+                "scale": jnp.ones((mid,), jnp.float32),
+                "bias": jnp.zeros((mid,), jnp.float32)})
+        p["se"] = self.param(
+            "se", lambda key: {
+                "reduce": {"kernel": conv_init(key, (1, 1, mid, red),
+                                               jnp.float32),
+                           "bias": jnp.zeros((red,), jnp.float32)},
+                "expand": {"kernel": conv_init(
+                    jax.random.fold_in(key, 1), (1, 1, red, mid),
+                    jnp.float32),
+                    "bias": jnp.zeros((mid,), jnp.float32)}})
+        p["project_conv"] = self.param(
+            "project_conv",
+            lambda key: {"kernel": conv_init(key, (1, 1, mid, self.out_ch),
+                                             jnp.float32)})
+        p["project_bn"] = self.param(
+            "project_bn", lambda key: {
+                "scale": jnp.ones((self.out_ch,), jnp.float32),
+                "bias": jnp.zeros((self.out_ch,), jnp.float32)})
+        stats = {}
+        for name, n in (("expand_bn", mid), ("dw_bn", mid),
+                        ("project_bn", self.out_ch)):
+            if name == "expand_bn" and self.expand_ratio == 1:
+                continue
+            stats[name] = self.variable(
+                "batch_stats", name,
+                lambda n=n: {"mean": jnp.zeros((n,), jnp.float32),
+                             "var": jnp.ones((n,), jnp.float32)})
+        return p, stats
+
+    @staticmethod
+    def _bn(y, scale, bias, mean, var, dtype):
+        yf = y.astype(jnp.float32)
+        z = (yf - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+        return z.astype(dtype)
+
+    def _fused_call(self, x, *, train: bool):
+        from ...ops.pallas.mbconv import mbconv_core, mbconv_reference
+
+        mid = self.in_ch * self.expand_ratio
+        has_expand = self.expand_ratio != 1
+        p, stats = self._fused_params(mid)
+        k = self.kernel
+        wexp = p["expand_conv"]["kernel"].reshape(self.in_ch, mid) \
+            if has_expand else None
+        g1 = p["expand_bn"]["scale"] if has_expand else None
+        b1 = p["expand_bn"]["bias"] if has_expand else None
+        wdw = p["dw_conv"]["kernel"]
+        g2, b2 = p["dw_bn"]["scale"], p["dw_bn"]["bias"]
+        wr = p["se"]["reduce"]["kernel"].reshape(mid, -1)
+        br = p["se"]["reduce"]["bias"]
+        we = p["se"]["expand"]["kernel"].reshape(-1, mid)
+        be = p["se"]["expand"]["bias"]
+        wproj = p["project_conv"]["kernel"].reshape(mid, self.out_ch)
+        g3, b3 = p["project_bn"]["scale"], p["project_bn"]["bias"]
+
+        use_kernel = (train and self.stride == 1
+                      and not self.is_initializing())
+        if use_kernel:
+            interpret = jax.default_backend() != "tpu"
+            y3, m1, v1, m2, v2, m3, v3 = mbconv_core(
+                x.astype(jnp.bfloat16), wexp, g1, b1, wdw, g2, b2,
+                wr, br, we, be, wproj, k, interpret)
+            out = self._bn(y3, g3, b3, m3, v3, self.dtype)
+            if train and not self.is_initializing():
+                mom = 0.99  # flax.linen.BatchNorm default momentum
+                if has_expand:
+                    ra = stats["expand_bn"]
+                    ra.value = {
+                        "mean": mom * ra.value["mean"] + (1 - mom) * m1,
+                        "var": mom * ra.value["var"] + (1 - mom) * v1}
+                for name, bm, bv in (("dw_bn", m2, v2),
+                                     ("project_bn", m3, v3)):
+                    ra = stats[name]
+                    ra.value = {
+                        "mean": mom * ra.value["mean"] + (1 - mom) * bm,
+                        "var": mom * ra.value["var"] + (1 - mom) * bv}
+        else:
+            out = self._unfused_over_params(
+                x, p, stats, mid, train=train)
+        if self.stride == 1 and self.in_ch == self.out_ch:
+            out = out + x.astype(out.dtype)
+        return out
+
+    def _unfused_over_params(self, x, p, stats, mid, *, train: bool):
+        """jnp composition over the fused-layout parameters: eval mode,
+        stride-2 blocks, and init (avoids compiling the Pallas kernels
+        during model.init). Semantics match the nn.Conv/nn.BatchNorm path."""
+        dt = self.dtype
+        k = self.kernel
+        has_expand = self.expand_ratio != 1
+        mom = 0.99
+
+        def bn(y, name):
+            yf = y.astype(jnp.float32)
+            if train:
+                m = jnp.mean(yf, axis=(0, 1, 2))
+                v = jnp.mean(yf * yf, axis=(0, 1, 2)) - m * m
+                if not self.is_initializing():
+                    ra = stats[name]
+                    ra.value = {"mean": mom * ra.value["mean"] + (1 - mom) * m,
+                                "var": mom * ra.value["var"] + (1 - mom) * v}
+            else:
+                m = stats[name].value["mean"]
+                v = stats[name].value["var"]
+            return self._bn(yf, p[name]["scale"], p[name]["bias"], m, v, dt)
+
+        y = x.astype(dt)
+        if has_expand:
+            y = jax.lax.dot_general(
+                y, p["expand_conv"]["kernel"].reshape(self.in_ch, mid)
+                .astype(dt), (((3,), (0,)), ((), ())))
+            y = nn.silu(bn(y, "expand_bn"))
+        pd = k // 2
+        y = jax.lax.conv_general_dilated(
+            y, p["dw_conv"]["kernel"].astype(dt),
+            window_strides=(self.stride, self.stride),
+            padding=[(pd, pd), (pd, pd)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=mid)
+        y = nn.silu(bn(y, "dw_bn"))
+        s = jnp.mean(y, axis=(1, 2))
+        u = nn.silu(jax.lax.dot_general(
+            s, p["se"]["reduce"]["kernel"].reshape(mid, -1).astype(dt),
+            (((1,), (0,)), ((), ()))) + p["se"]["reduce"]["bias"].astype(dt))
+        se = nn.sigmoid(jax.lax.dot_general(
+            u, p["se"]["expand"]["kernel"].reshape(-1, mid).astype(dt),
+            (((1,), (0,)), ((), ()))) + p["se"]["expand"]["bias"].astype(dt))
+        y = y * se[:, None, None, :]
+        y = jax.lax.dot_general(
+            y, p["project_conv"]["kernel"].reshape(mid, self.out_ch)
+            .astype(dt), (((3,), (0,)), ((), ())))
+        return bn(y, "project_bn")
+
+    # ---- standard (unfused) path ------------------------------------------
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        if self.fused:
+            return self._fused_call(x, train=train)
         identity = x
         mid = self.in_ch * self.expand_ratio
         y = x
@@ -89,6 +258,9 @@ class EfficientNet(nn.Module):
     depth_mult: float = 1.0
     in_chans: int = 1
     se_ratio: float = 0.25
+    #: route MBConv blocks through the fused Pallas TPU kernels (same
+    #: parameter tree; see _MBConv.fused)
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -110,8 +282,8 @@ class EfficientNet(nn.Module):
             for b in range(repeats):
                 s = stride if b == 0 else 1
                 x = _MBConv(in_ch, ch, expand, s, kernel, self.se_ratio,
-                            self.dtype, name=f"stage{si + 1}_block{b}")(
-                    x, train=train)
+                            self.dtype, fused=self.fused,
+                            name=f"stage{si + 1}_block{b}")(x, train=train)
                 in_ch = ch
 
         x = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype,

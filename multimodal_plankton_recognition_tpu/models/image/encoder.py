@@ -28,11 +28,17 @@ class ImageEncoder(nn.Module):
     num_classes: int = 0          # accepted for card parity; features only
     pretrained: bool = False      # handled by the driver (npz load)
     pretrained_path: Optional[str] = None
+    #: route EfficientNet MBConv blocks through the fused Pallas TPU kernels
+    #: (ops/pallas/mbconv.py) — identical math, the 6x-expanded
+    #: intermediates never leave VMEM; single-chip training path
+    fused_mbconv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self) -> None:
+        extra = {"fused": True} \
+            if self.fused_mbconv and "efficientnet" in self.name else {}
         self.backbone = create_backbone(self.name, in_chans=self.in_chans,
-                                        dtype=self.dtype)
+                                        dtype=self.dtype, **extra)
         self.drop = nn.Dropout(self.dropout)
 
     @property

@@ -121,14 +121,15 @@ def _bwd_probe(name, apply_fn, params, x):
           f"{bs * K / dt:,.0f} samples/s", flush=True)
 
 
-def probe_image_encoder(bs, variant=None):
+def probe_image_encoder(bs, variant=None, fused=False):
     import jax
     import jax.numpy as jnp
     from multimodal_plankton_recognition_tpu.models.image.registry import (
         create_backbone,
     )
     name = variant or "efficientnet_b0"
-    enc = create_backbone(name, in_chans=1, dtype=jnp.bfloat16)
+    extra = {"fused": True} if fused else {}
+    enc = create_backbone(name, in_chans=1, dtype=jnp.bfloat16, **extra)
     x = jnp.asarray(np.random.RandomState(0).randn(bs, 224, 224, 1),
                     jnp.float32)
     variables = enc.init(jax.random.key(0), x, train=False)
@@ -170,6 +171,7 @@ PROBES = {
     "train512": partial(probe_train_step, 512),
     "train1024": partial(probe_train_step, 1024),
     "b0_256": partial(probe_image_encoder, 256),
+    "b0_fused_256": partial(probe_image_encoder, 256, fused=True),
     "b0_1024": partial(probe_image_encoder, 1024),
     "vit_256": partial(probe_image_encoder, 256, "vit_tiny_patch16_224"),
     "cnn_256": partial(probe_profile_encoder, 256),

@@ -1,0 +1,96 @@
+"""Quantitative synthetic-parity gate (VERDICT r1 #4).
+
+Freezes a synthetic corpus + training protocol and asserts the resulting
+retrieval accuracies stay inside committed bands
+(tests/golden/parity_bands.json), so a regression in the training math —
+loss formulas, optimizer semantics, transform pipeline, encode path — fails
+the suite instead of passing silently.
+
+The bands encode the reference's qualitative cross-modal pattern at
+synthetic scale: same-modal retrieval high, cross-modal transfer low
+(reference: experiments.ipynb cell 22 saved outputs; BASELINE.md cross-modal
+matrix). Calibrated with scripts/parity_gate.py (3 protocol seeds; bands are
+min/max over seeds widened by 2x the observed spread).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+GOLDEN = Path(__file__).parent / "golden" / "parity_bands.json"
+
+#: everything about the protocol is pinned; changing any of this requires
+#: re-calibrating the golden bands (scripts/parity_gate.py --calibrate)
+PROTOCOL_CARD = {
+    "bs": 8,
+    "dim_embedding": 32,
+    "target_size": 32,
+    "buckets": 2,
+    "num_workers": 2,
+    "patience": 99,
+    "save_top_k": 1,
+    "seed": 0,
+    "image_encoder_args": {"name": "resnet18", "metadata": True},
+    "profile_encoder_args": {"kind": "cnn", "dim_in": 6,
+                             "blocks": [1, 1, 1, 1], "base_channels": 8},
+    "coordination_args": {"method": "clip"},
+    "optim_args": {"lr": 1e-2, "momentum": 0.9, "weight_decay": 1e-4,
+                   "nesterov": True},
+    "trainer_args": {"precision": "32", "min_epochs": 15, "max_epochs": 15},
+}
+DATA_KW = dict(n_classes=5, n_per_class=24, seed=7)
+GALLERY_N = 8
+KNN_K = 3
+REPEATS = 3
+SETUPS = ("I - I", "P - P", "I - P", "I+P - P")
+
+
+def run_parity_protocol(workdir: Path, data_seed: int = 7) -> dict:
+    """Train -> encode -> cross-folds retrieval; returns mean accuracy per
+    setup. Deterministic given ``data_seed`` (model/train seed is pinned)."""
+    from multimodal_plankton_recognition_tpu.data.synthetic import (
+        make_synthetic_dataset,
+    )
+    from multimodal_plankton_recognition_tpu.retrieval import encode_split
+    from multimodal_plankton_recognition_tpu.retrieval.benchmark import (
+        run_suite,
+    )
+    from multimodal_plankton_recognition_tpu.train.drivers import train_multi
+
+    kw = dict(DATA_KW, seed=data_seed)
+    split = make_synthetic_dataset(workdir / "data", **kw)
+    card_path = workdir / "card.yaml"
+    card_path.write_text(yaml.safe_dump(PROTOCOL_CARD))
+    result = train_multi(split, card_path, logdir=workdir / "logs")
+
+    entry = encode_split(f"{result['logdir']}/checkpoints", split,
+                         batch_size=8, num_workers=1)
+    results = run_suite({"gate": {1: entry}}, mode="cross_folds",
+                        N=(GALLERY_N,), K=(KNN_K,), repeats=REPEATS, th=1,
+                        seed=0)
+    runs = results["gate"][1][GALLERY_N]
+    acc = {}
+    for setup in SETUPS:
+        vals = [float(np.mean(np.asarray(r["pred"][KNN_K][setup]) ==
+                              np.asarray(r["true"])))
+                for r in runs.values()]
+        acc[setup] = float(np.mean(vals))
+    acc["final_train_loss"] = float(result["history"][-1]["train_loss"])
+    return acc
+
+
+@pytest.mark.slow
+def test_parity_bands(tmp_path):
+    bands = json.loads(GOLDEN.read_text())
+    acc = run_parity_protocol(tmp_path)
+    errors = []
+    for key, (lo, hi) in bands["bands"].items():
+        v = acc[key]
+        if not (lo <= v <= hi):
+            errors.append(f"{key}: {v:.4f} outside [{lo}, {hi}]")
+    assert not errors, (
+        "parity gate violated (training-math regression?):\n  "
+        + "\n  ".join(errors) + f"\n  full result: {acc}")
