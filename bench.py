@@ -144,10 +144,13 @@ def _batch_vit():
 
 def main() -> None:
     import jax.numpy as jnp
-    from multimodal_plankton_recognition_tpu import enable_compilation_cache
+    from multimodal_plankton_recognition_tpu import (
+        enable_compilation_cache, use_fast_prng,
+    )
     from multimodal_plankton_recognition_tpu.models import MultiModel
 
     enable_compilation_cache()
+    use_fast_prng()
 
     effnet = MultiModel(
         dim_embed=512,
@@ -167,10 +170,11 @@ def main() -> None:
     vit = MultiModel(
         dim_embed=512,
         image_encoder_args={"name": "vit_tiny_patch16_224", "in_chans": 1,
-                            "metadata": True},
+                            "metadata": True, "fused_attention": True},
         profile_encoder_args={"kind": "transformer", "dim_in": 6,
                               "dim_hidden": 192, "num_layers": 2,
-                              "num_head": 8, "target_size": PLEN},
+                              "num_head": 8, "target_size": PLEN,
+                              "fused_attention": True},
         coordination_args={"method": "clip", "fused": True},
         dtype=jnp.bfloat16,
     )

@@ -130,7 +130,7 @@ def _normalize_profile_encoder(args: Optional[Dict[str, Any]],
     allowed = {
         "transformer": {"dim_in", "dim_hidden", "target_size", "num_head",
                         "num_layers", "dim_feedforward", "dropout",
-                        "activation", "metadata"},
+                        "activation", "metadata", "fused_attention"},
         "lstm": {"dim_in", "dim_hidden", "num_layers", "dropout", "metadata"},
         "cnn": {"dim_in", "blocks", "groups", "base_channels", "dropout",
                 "metadata", "norm"},
@@ -151,7 +151,8 @@ def _normalize_image_encoder(args: Optional[Dict[str, Any]]) -> Optional[Dict[st
     if "name" not in args:
         raise CardError("image_encoder_args requires a 'name' (backbone)")
     allowed = {"name", "pretrained", "num_classes", "in_chans", "dropout",
-               "metadata", "pretrained_path", "fused_mbconv"}
+               "metadata", "pretrained_path", "fused_mbconv",
+               "fused_attention"}
     unknown = set(args) - allowed
     if unknown:
         raise CardError(f"image_encoder_args: unknown keys {sorted(unknown)}")

@@ -32,11 +32,16 @@ class ImageEncoder(nn.Module):
     #: (ops/pallas/mbconv.py) — identical math, the 6x-expanded
     #: intermediates never leave VMEM; single-chip training path
     fused_mbconv: bool = False
+    #: route ViT attention through the fused Pallas kernel
+    #: (models/attention.py / ops/pallas/attention.py)
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self) -> None:
         extra = {"fused": True} \
             if self.fused_mbconv and "efficientnet" in self.name else {}
+        if self.fused_attention and self.name.startswith("vit"):
+            extra["fused_attention"] = True
         self.backbone = create_backbone(self.name, in_chans=self.in_chans,
                                         dtype=self.dtype, **extra)
         self.drop = nn.Dropout(self.dropout)

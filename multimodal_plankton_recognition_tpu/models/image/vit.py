@@ -4,14 +4,18 @@ From-scratch Flax implementation covering the timm model names the reference
 exercises (reference: scripts/train_image.sh:14-15, experiments.ipynb cell 4
 "ViT_T/16 + Transformer"): pre-LN blocks, learned position embeddings, CLS
 token pooling. Static 224-px inputs mean the (B, 197, D) attention tiles
-directly onto the MXU; XLA fuses the QKV projections and lowers
-``jax.nn.dot_product_attention``-style softmax-attention into a fused kernel.
+directly onto the MXU; with ``fused_attention=True`` the attention runs
+through the per-head lane-mask Pallas kernel (ops/pallas/attention.py),
+avoiding the head-split transposes and HBM-materialized probabilities of
+the einsum path.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 import flax.linen as nn
+
+from ..attention import FusedSelfAttention
 
 
 class _Block(nn.Module):
@@ -22,14 +26,22 @@ class _Block(nn.Module):
     mlp_ratio: float
     dropout: float
     dtype: jnp.dtype
+    #: fused Pallas attention kernel (models/attention.py); same params
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool) -> jnp.ndarray:
         h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype,
-            dropout_rate=self.dropout, deterministic=deterministic,
-            name="attn")(h, h, h)
+        if self.fused_attention:
+            h = FusedSelfAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                dropout_rate=self.dropout, name="attn",
+            )(h, deterministic=deterministic)
+        else:
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                dropout_rate=self.dropout, deterministic=deterministic,
+                name="attn")(h, h, h)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
@@ -50,6 +62,8 @@ class ViT(nn.Module):
     dropout: float = 0.0
     in_chans: int = 1
     img_size: int = 224
+    #: fused Pallas attention kernel (models/attention.py)
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -80,7 +94,9 @@ class ViT(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         for i in range(self.depth):
             x = _Block(self.embed_dim, self.num_heads, self.mlp_ratio,
-                       self.dropout, self.dtype, name=f"block_{i}")(
+                       self.dropout, self.dtype,
+                       fused_attention=self.fused_attention,
+                       name=f"block_{i}")(
                 x, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
         return x[:, 0]  # CLS pooling

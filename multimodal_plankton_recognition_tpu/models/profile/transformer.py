@@ -8,10 +8,12 @@ row, a stack of post-LayerNorm transformer blocks (torch
 token at position 0, and an optional relative-length metadata scalar
 concatenated to the CLS output.
 
-The attention uses ``jax.nn.dot_product_attention``, which XLA lowers to a
-fused (flash-style) TPU attention; sequence lengths are static (profiles are
-resampled to ``target_size`` by the input pipeline), so everything tiles
-cleanly onto the MXU.
+Sequence lengths are static (profiles are resampled to ``target_size`` by
+the input pipeline), so everything tiles cleanly onto the MXU. With
+``fused_attention: true`` the attention runs through the per-head lane-mask
+Pallas kernel (ops/pallas/attention.py) — no head-split transposes and no
+HBM-materialized (B, H, L, L) probabilities, which profiling showed dominate
+this encoder's step time at the reference's 8-head/24-dim shape.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...data.tokenize import tokenize_transformer
+from ..attention import FusedSelfAttention
 
 
 class _EncoderLayer(nn.Module):
@@ -35,21 +38,30 @@ class _EncoderLayer(nn.Module):
     dropout: float
     activation: str
     dtype: jnp.dtype
+    #: route attention through the fused Pallas TPU kernel (same parameter
+    #: tree as flax MHA — see models/attention.py); single-chip path
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, padding_mask: Optional[jnp.ndarray],
                  *, deterministic: bool) -> jnp.ndarray:
-        attn_mask = None
-        if padding_mask is not None:
-            # (B, 1, 1, T): True = attend, matching flax mask convention
-            attn_mask = (~padding_mask)[:, None, None, :]
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_head,
-            dtype=self.dtype,
-            dropout_rate=self.dropout,
-            deterministic=deterministic,
-            name="attn",
-        )(x, x, x, mask=attn_mask)
+        if self.fused_attention:
+            attn = FusedSelfAttention(
+                num_heads=self.num_head, dtype=self.dtype,
+                dropout_rate=self.dropout, name="attn",
+            )(x, padding_mask, deterministic=deterministic)
+        else:
+            attn_mask = None
+            if padding_mask is not None:
+                # (B, 1, 1, T): True = attend, matching flax mask convention
+                attn_mask = (~padding_mask)[:, None, None, :]
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_head,
+                dtype=self.dtype,
+                dropout_rate=self.dropout,
+                deterministic=deterministic,
+                name="attn",
+            )(x, x, x, mask=attn_mask)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + attn)
 
@@ -73,6 +85,9 @@ class ProfileTransformer(nn.Module):
     dropout: float = 0.1
     activation: str = "gelu"
     metadata: bool = True
+    #: fused Pallas attention kernel (models/attention.py); checkpoint
+    #: layout is identical either way
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -104,6 +119,7 @@ class ProfileTransformer(nn.Module):
             x = _EncoderLayer(self.dim_hidden, self.num_head,
                               self.dim_feedforward, self.dropout,
                               self.activation, self.dtype,
+                              fused_attention=self.fused_attention,
                               name=f"layer_{i}")(
                 x, padding_mask, deterministic=deterministic)
         x = x[:, 0]  # CLS position

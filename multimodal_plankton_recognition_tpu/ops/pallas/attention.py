@@ -1,0 +1,240 @@
+"""Fused multi-head self-attention Pallas TPU kernels.
+
+Motivation (measured, docs/PERF.md): profiling the ViT-T + ProfileTransformer
+flagship train step (scripts/xprof.py) shows ~19% of device time in pure
+copy/transpose ops — the (B, L, H, D) head-split relayouts flax's
+einsum-based ``nn.MultiHeadDotProductAttention`` induces — plus several ms
+materializing the (B, H, L, L) attention probabilities in HBM between the
+score matmul, softmax, dropout and the value matmul. Both transformer
+families of this framework have tiny head dims (ViT-T: 3x64, the reference's
+ProfileTransformer: 8x24 — reference src/profile_encoder.py:14-27), so the
+per-head matmuls also run far below MXU efficiency (contraction dim 24 or
+64 of the 128-wide systolic array).
+
+Design — the per-head LANE-MASK trick: keep everything in the packed
+``(L, E)`` layout (E = H*D lanes) and never split heads at all.
+
+    S_h = (q * m_h) @ k^T          m_h = 1.0 on head h's lane block
+    O   = sum_h drop(softmax(S_h * scale + bias)) @ (v * m_h)
+
+Masking one operand of a full-width (K = E) contraction yields exactly the
+head-h scores, because the other heads' lanes contribute zero. Every matmul
+is then MXU-shaped (K = 192 instead of 24), there are NO transposes, NO
+(B, H, L, L) HBM tensors (scores/probs live per-head in VMEM), and dropout
+is generated in-kernel with the TPU PRNG. The whole (L, E) problem for one
+sample fits comfortably in VMEM (L <= 225 here), so the grid is simply
+``(B,)`` and softmax needs no online/flash accumulation — the backward
+recomputes S_h from q/k (recompute-in-backward, same policy as
+ops/pallas/contrastive.py) under ``jax.custom_vjp``.
+
+Semantics match ``flax.linen.MultiHeadDotProductAttention`` (q scaled by
+1/sqrt(D), pre-softmax additive key bias for padding masks, attention-prob
+dropout with 1/(1-p) scaling); softmax runs in f32 (flax runs it in the
+module dtype — the f32 here is a strict precision improvement, covered by
+the parity tests' tolerances). Dropout uses the kernel PRNG, so masks
+differ from flax's host-keyed ones — dropout randomness carries no
+reproducibility contract (the reference uses torch's RNG anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mha_core", "mha_reference"]
+
+
+def _head_mask(h: int, heads: int, e: int):
+    """(1, E) f32: 1.0 on head h's lane block."""
+    d = e // heads
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, e), 1)
+    return ((lanes >= h * d) & (lanes < (h + 1) * d)).astype(jnp.float32)
+
+
+def _uniform(shape):
+    """f32 uniform [0, 1) from the seeded TPU PRNG."""
+    bits = pltpu.prng_random_bits(shape)
+    # logical shift down to 24 bits (Mosaic has no uint32->f32 cast, so
+    # bitcast back to the now-positive int32 before converting)
+    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32) >> 8
+    bits = jax.lax.bitcast_convert_type(bits, jnp.int32)
+    return bits.astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
+                *, heads: int, dropout_p: float, train: bool):
+    b = pl.program_id(0)
+    q = q_ref[0].astype(jnp.float32)                     # (L, E)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]                                         # bf16 for the MXU
+    l, e = q.shape
+    d = e // heads
+    scale = 1.0 / (d ** 0.5)
+    bias = bias_ref[0]                                   # (1, L) additive
+    use_drop = train and dropout_p > 0.0
+
+    acc = jnp.zeros((l, e), jnp.float32)
+    for h in range(heads):
+        mh = _head_mask(h, heads, e)
+        s = jax.lax.dot_general(
+            q * mh, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (L, L) head-h
+        z = s * scale + bias
+        m = jnp.max(z, axis=1, keepdims=True)
+        p = jnp.exp(z - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        if use_drop:
+            pltpu.prng_seed(seed_ref[0, 0] + b * heads + h)
+            keep = (_uniform((l, l)) >= dropout_p).astype(jnp.float32)
+            p = p * keep * (1.0 / (1.0 - dropout_p))
+        acc = acc + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v * _head_mask(h, heads, e)
+            .astype(v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
+                dq_ref, dk_ref, dv_ref,
+                *, heads: int, dropout_p: float, train: bool):
+    b = pl.program_id(0)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    do = do_ref[0]                                       # (L, E) bf16
+    l, e = q.shape
+    d = e // heads
+    scale = 1.0 / (d ** 0.5)
+    bias = bias_ref[0]                                   # (1, L)
+    use_drop = train and dropout_p > 0.0
+
+    dq = jnp.zeros((l, e), jnp.float32)
+    dk = jnp.zeros((l, e), jnp.float32)
+    dv = jnp.zeros((l, e), jnp.float32)
+    for h in range(heads):
+        mh = _head_mask(h, heads, e)
+        qm = q * mh
+        s = jax.lax.dot_general(qm, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        z = s * scale + bias
+        m = jnp.max(z, axis=1, keepdims=True)
+        p = jnp.exp(z - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        do_m = (do * mh.astype(do.dtype))
+        # dPd = (dO masked to head h) @ v^T — other heads' lanes give 0
+        dpd = jax.lax.dot_general(do_m, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if use_drop:
+            pltpu.prng_seed(seed_ref[0, 0] + b * heads + h)
+            keep = (_uniform((l, l)) >= dropout_p).astype(jnp.float32)
+            pd = p * keep * (1.0 / (1.0 - dropout_p))
+            dp = dpd * keep * (1.0 / (1.0 - dropout_p))
+        else:
+            pd = p
+            dp = dpd
+        dz = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        ds = dz * scale
+        dq = dq + jax.lax.dot_general(
+            ds, k * mh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk = dk + jax.lax.dot_general(
+            ds, qm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv = dv + jax.lax.dot_general(
+            pd.astype(jnp.bfloat16), do_m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _specs(l, e):
+    emb = pl.BlockSpec((1, l, e), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    # bias rides as (B, 1, L) so the block's trailing dims (1, L) equal the
+    # array's (Mosaic requires tile-divisible or full trailing block dims)
+    bias = pl.BlockSpec((1, 1, l), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    return emb, bias, seed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def mha_core(q, k, v, bias_rows, seed,
+             heads: int, dropout_p: float = 0.0, train: bool = False,
+             interpret: bool = False):
+    """Fused multi-head self-attention on packed (B, L, E) q/k/v.
+
+    ``bias_rows``: (B, L) f32 additive pre-softmax key bias (0 for attend,
+    a large negative for padded keys). ``seed``: int32 scalar array for the
+    in-kernel dropout PRNG (ignored unless train and dropout_p > 0).
+    Returns (B, L, E) in q's dtype.
+    """
+    return _mha_fwd(q, k, v, bias_rows, seed,
+                    heads, dropout_p, train, interpret)[0]
+
+
+def _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train, interpret):
+    b, l, e = q.shape
+    emb, bias_spec, seed_spec = _specs(l, e)
+    kernel = functools.partial(_fwd_kernel, heads=heads,
+                               dropout_p=dropout_p, train=train)
+    o = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[emb, emb, emb, bias_spec, seed_spec],
+        out_specs=emb,
+        out_shape=jax.ShapeDtypeStruct((b, l, e), q.dtype),
+        interpret=interpret,
+    )(q, k, v, jnp.asarray(bias_rows, jnp.float32).reshape(b, 1, l),
+      jnp.asarray(seed, jnp.int32).reshape(1, 1))
+    return o, (q, k, v, bias_rows, seed)
+
+
+def _mha_bwd(heads, dropout_p, train, interpret, residuals, g):
+    q, k, v, bias_rows, seed = residuals
+    b, l, e = q.shape
+    emb, bias_spec, seed_spec = _specs(l, e)
+    kernel = functools.partial(_bwd_kernel, heads=heads,
+                               dropout_p=dropout_p, train=train)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[emb, emb, emb, bias_spec, seed_spec, emb],
+        out_specs=(emb, emb, emb),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l, e), q.dtype),
+            jax.ShapeDtypeStruct((b, l, e), k.dtype),
+            jax.ShapeDtypeStruct((b, l, e), v.dtype),
+        ),
+        interpret=interpret,
+    )(q, k, v, jnp.asarray(bias_rows, jnp.float32).reshape(b, 1, l),
+      jnp.asarray(seed, jnp.int32).reshape(1, 1),
+      g.astype(q.dtype))
+    import numpy as np
+    dseed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return dq, dk, dv, jnp.zeros_like(jnp.asarray(bias_rows, jnp.float32)), \
+        dseed
+
+
+mha_core.defvjp(_mha_fwd, _mha_bwd)
+
+
+def mha_reference(q, k, v, bias_rows, heads: int):
+    """Plain-jnp composition with the kernel's exact semantics (no dropout):
+    the oracle for parity tests and the non-TPU fallback path."""
+    b, l, e = q.shape
+    d = e // heads
+    scale = 1.0 / (d ** 0.5)
+    qh = q.astype(jnp.float32).reshape(b, l, heads, d)
+    kh = k.astype(jnp.float32).reshape(b, l, heads, d)
+    vh = v.reshape(b, l, heads, d)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+    s = s + jnp.asarray(bias_rows, jnp.float32)[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), vh)
+    return o.reshape(b, l, e).astype(q.dtype)

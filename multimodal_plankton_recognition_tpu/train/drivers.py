@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .. import enable_compilation_cache
+from .. import enable_compilation_cache, use_fast_prng
 from ..config import ModelCard, load_card
 from ..data import (
     MultiSet, ImageTransformTrain, ImageTransformTest, ProfileTransformTrain,
@@ -166,6 +166,7 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
                 profile: bool = False) -> dict:
     """Contrastive cross-modal pretraining (reference: scripts/train_multi.py)."""
     enable_compilation_cache()
+    use_fast_prng()
     card = load_card(modelcard)
     if max_epochs is not None:
         card.trainer_args.max_epochs = max_epochs
@@ -285,6 +286,7 @@ def _train_classifier(kind: str, dataset: str | Path,
                       resume: Optional[str] = None,
                       profile: bool = False) -> dict:
     enable_compilation_cache()
+    use_fast_prng()
     card = load_card(modelcard)
     if max_epochs is not None:
         card.trainer_args.max_epochs = max_epochs

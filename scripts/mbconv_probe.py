@@ -77,7 +77,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from multimodal_plankton_recognition_tpu import enable_compilation_cache
     from multimodal_plankton_recognition_tpu.ops.pallas import mbconv as M
+    enable_compilation_cache()
 
     rs = np.random.RandomState(0)
     interpret = jax.default_backend() != "tpu"

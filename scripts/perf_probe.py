@@ -97,6 +97,61 @@ def probe_train_step(bs, img_dtype=None, label=""):
           f"{bs * K / dt:,.0f} pairs/s", flush=True)
 
 
+def probe_vit_train(bs, fused_attention=False):
+    """Full train step for the second flagship family (ViT-T/16 +
+    ProfileTransformer) at a given per-chip batch; fused_attention routes
+    both transformers through the Pallas lane-mask attention kernel."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_plankton_recognition_tpu.config import OptimConfig
+    from multimodal_plankton_recognition_tpu.models import MultiModel
+    from multimodal_plankton_recognition_tpu.train import (
+        make_optimizer, create_train_state, make_multi_steps,
+    )
+
+    buckets = bs // 16
+    model = MultiModel(
+        dim_embed=512,
+        image_encoder_args={"name": "vit_tiny_patch16_224", "in_chans": 1,
+                            "metadata": True,
+                            "fused_attention": fused_attention},
+        profile_encoder_args={"kind": "transformer", "dim_in": 6,
+                              "dim_hidden": 192, "num_layers": 2,
+                              "num_head": 8, "target_size": 224,
+                              "fused_attention": fused_attention},
+        coordination_args={"method": "clip", "fused": True},
+        dtype=jnp.bfloat16,
+    )
+    rs = np.random.RandomState(0)
+    L = 225
+    batch = {
+        "image": jnp.asarray(rs.randn(bs, 224, 224, 1), jnp.float32),
+        "image_shape": jnp.asarray(rs.randint(50, 400, (bs, 2)), jnp.int32),
+        "profile": jnp.asarray(rs.randn(bs, L, 6), jnp.float32),
+        "profile_len": jnp.asarray(rs.randint(20, 2000, (bs, 1)), jnp.int32),
+        "time": jnp.asarray(np.tile(np.arange(L, dtype=np.int32), (bs, 1))),
+        "padding_mask": jnp.zeros((bs, L), jnp.bool_),
+    }
+    tx = make_optimizer(OptimConfig(lr=5e-3, momentum=0.9,
+                                    weight_decay=1e-3, nesterov=True))
+    state = create_train_state(model, jax.random.key(0), batch, tx,
+                               init_kwargs={"buckets": buckets})
+    train_step, _ = make_multi_steps(model, tx, buckets=buckets)
+    inner = train_step.__wrapped__
+
+    @jax.jit
+    def run_k(state, batch, rng):
+        def body(s, i):
+            s2, loss = inner(s, batch, jax.random.fold_in(rng, i))
+            return s2, loss
+        return jax.lax.scan(body, state, jnp.arange(K))
+
+    dt = _time_scan(run_k, state, batch, jax.random.key(1))
+    tag = " fused-attn" if fused_attention else ""
+    print(f"vit_train bs={bs}{tag}: {dt / K * 1e3:.2f} ms/step, "
+          f"{bs * K / dt:,.0f} pairs/s", flush=True)
+
+
 def _bwd_probe(name, apply_fn, params, x):
     """fwd+bwd of apply_fn wrt params; carry = params so nothing hoists."""
     import jax
@@ -174,13 +229,21 @@ PROBES = {
     "b0_fused_256": partial(probe_image_encoder, 256, fused=True),
     "b0_1024": partial(probe_image_encoder, 1024),
     "vit_256": partial(probe_image_encoder, 256, "vit_tiny_patch16_224"),
+    "vit_train256": partial(probe_vit_train, 256),
+    "vit_train256_fused": partial(probe_vit_train, 256,
+                                  fused_attention=True),
+    "vit_train512": partial(probe_vit_train, 512),
+    "vit_train1024": partial(probe_vit_train, 1024),
     "cnn_256": partial(probe_profile_encoder, 256),
 }
 
 
 def main():
-    from multimodal_plankton_recognition_tpu import enable_compilation_cache
+    from multimodal_plankton_recognition_tpu import (
+        enable_compilation_cache, use_fast_prng,
+    )
     enable_compilation_cache()
+    use_fast_prng()
     names = sys.argv[1:] or list(PROBES)
     for n in names:
         PROBES[n]()

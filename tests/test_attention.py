@@ -1,0 +1,172 @@
+"""Fused multi-head attention kernel + module parity tests.
+
+Kernel parity runs in Pallas interpret mode on the CPU test platform; the
+same kernels compile through Mosaic on TPU (hardware-verified numbers in
+docs/PERF.md). Shapes cover both flagship configurations: ViT-T (3 heads x
+64) and the reference ProfileTransformer (8 heads x 24,
+reference src/profile_encoder.py:14-27).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import flax.linen as nn
+
+from multimodal_plankton_recognition_tpu.models.attention import (
+    FusedSelfAttention,
+)
+from multimodal_plankton_recognition_tpu.ops.pallas.attention import (
+    mha_core, mha_reference,
+)
+
+
+def _rand_qkv(b, l, e, seed=0, dtype=jnp.bfloat16):
+    rs = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rs.randn(b, l, e), dtype)  # noqa: E731
+    return mk(), mk(), mk()
+
+
+def _mask_bias(b, l, seed=1):
+    rs = np.random.RandomState(seed)
+    pad = rs.rand(b, l) < 0.3
+    pad[:, 0] = False  # CLS always valid
+    return jnp.where(jnp.asarray(pad), -1e9, 0.0).astype(jnp.float32), pad
+
+
+@pytest.mark.parametrize("heads,l,e", [(3, 197, 192), (8, 225, 192)])
+def test_kernel_matches_reference_fwd(heads, l, e):
+    b = 4
+    q, k, v = _rand_qkv(b, l, e)
+    bias, _ = _mask_bias(b, l)
+    seed = jnp.zeros((), jnp.int32)
+    out = mha_core(q, k, v, bias, seed, heads, 0.0, False, True)
+    ref = mha_reference(q, k, v, bias, heads)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("heads,l,e", [(8, 64, 64)])
+def test_kernel_matches_reference_grad(heads, l, e):
+    b = 2
+    q, k, v = _rand_qkv(b, l, e, dtype=jnp.float32)
+    bias, _ = _mask_bias(b, l)
+    seed = jnp.zeros((), jnp.int32)
+
+    def loss_kernel(q, k, v):
+        o = mha_core(q, k, v, bias, seed, heads, 0.0, False, True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        o = mha_reference(q, k, v, bias, heads)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=0.05, atol=0.05)
+
+
+def test_kernel_dropout_statistics():
+    """Train-mode dropout: ~p of the prob mass dropped, kept entries scaled
+    by 1/(1-p); row means of the output stay near the no-drop output.
+
+    TPU-only: the kernel PRNG (pltpu.prng_random_bits) has no interpret-mode
+    implementation, so this runs when the suite executes on real hardware
+    (scripts/attention_probe.py covers it in the TPU verification runs)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("kernel PRNG requires a TPU backend")
+    heads, b, l, e, p = 4, 2, 64, 64, 0.5
+    q, k, v = _rand_qkv(b, l, e, dtype=jnp.float32)
+    bias = jnp.zeros((b, l), jnp.float32)
+    base = mha_core(q, k, v, bias, jnp.zeros((), jnp.int32),
+                    heads, 0.0, False, False)
+    seeds = [jnp.asarray(s, jnp.int32) for s in (7, 99, 1234)]
+    outs = [np.asarray(mha_core(q, k, v, bias, s, heads, p, True, False),
+                       np.float32) for s in seeds]
+    # different seeds -> different masks
+    assert not np.allclose(outs[0], outs[1])
+    # dropout is unbiased: the seed-average approaches the base output
+    avg = np.mean(outs, axis=0)
+    err = np.abs(avg - np.asarray(base, np.float32)).mean()
+    scale = np.abs(np.asarray(base, np.float32)).mean()
+    assert err < 0.6 * scale
+
+
+def test_module_matches_flax_mha_param_tree():
+    """FusedSelfAttention's params are interchangeable with flax MHA's:
+    init one, apply the other, outputs agree (eval mode, no dropout)."""
+    b, l, e, heads = 2, 33, 48, 4
+    x = jnp.asarray(np.random.RandomState(0).randn(b, l, e), jnp.float32)
+
+    fused = FusedSelfAttention(num_heads=heads, dropout_rate=0.0,
+                               dtype=jnp.float32)
+    params = fused.init(jax.random.key(0), x)["params"]
+
+    flax_mha = nn.MultiHeadDotProductAttention(
+        num_heads=heads, dtype=jnp.float32, dropout_rate=0.0,
+        deterministic=True)
+    out_flax = flax_mha.apply({"params": params}, x, x, x)
+    out_fused = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_flax),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_module_padding_mask_matches_flax():
+    b, l, e, heads = 2, 19, 32, 8
+    x = jnp.asarray(np.random.RandomState(3).randn(b, l, e), jnp.float32)
+    _, pad = _mask_bias(b, l, seed=5)
+    pad = jnp.asarray(pad)
+
+    fused = FusedSelfAttention(num_heads=heads, dropout_rate=0.0,
+                               dtype=jnp.float32)
+    params = fused.init(jax.random.key(0), x, pad)["params"]
+    out_fused = fused.apply({"params": params}, x, pad)
+
+    flax_mha = nn.MultiHeadDotProductAttention(
+        num_heads=heads, dtype=jnp.float32, dropout_rate=0.0,
+        deterministic=True)
+    out_flax = flax_mha.apply({"params": params}, x, x, x,
+                              mask=(~pad)[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_flax),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_transformer_encoders_build_with_fused_flag():
+    """Both flagship encoders accept fused_attention and keep the same
+    parameter tree as the unfused build (checkpoint compatibility)."""
+    from multimodal_plankton_recognition_tpu.models.profile.factory import (
+        create_profile_encoder,
+    )
+    from multimodal_plankton_recognition_tpu.models.image.registry import (
+        create_backbone,
+    )
+
+    args = {"kind": "transformer", "dim_in": 6, "dim_hidden": 32,
+            "num_head": 4, "num_layers": 1, "target_size": 16,
+            "dim_feedforward": 64}
+    enc_a = create_profile_encoder(dict(args, fused_attention=True))
+    enc_b = create_profile_encoder(args)
+    prof = jnp.zeros((2, 17, 6))
+    time = jnp.zeros((2, 17), jnp.int32)
+    mask = jnp.zeros((2, 17), bool)
+    plen = jnp.ones((2, 1), jnp.int32)
+    va = enc_a.init(jax.random.key(0), prof, time, mask, plen)
+    vb = enc_b.init(jax.random.key(0), prof, time, mask, plen)
+    ta = jax.tree.structure(va)
+    tb = jax.tree.structure(vb)
+    assert ta == tb
+    oa = enc_a.apply(va, prof, time, mask, plen)
+    ob = enc_b.apply(vb, prof, time, mask, plen)
+    assert oa.shape == ob.shape
+
+    vit_a = create_backbone("vit_tiny_patch16_224", in_chans=1,
+                            fused_attention=True)
+    vit_b = create_backbone("vit_tiny_patch16_224", in_chans=1)
+    img = jnp.zeros((1, 224, 224, 1))
+    pa = vit_a.init(jax.random.key(0), img)
+    pb = vit_b.init(jax.random.key(0), img)
+    assert jax.tree.structure(pa) == jax.tree.structure(pb)
