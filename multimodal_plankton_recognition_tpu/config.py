@@ -253,6 +253,14 @@ class ModelCard:
                     f"must be >= the card's target_size ({target_size}): "
                     f"profiles are resampled to {target_size} steps and the "
                     f"position table would be indexed out of bounds")
+        ie = kwargs["image_encoder_args"]
+        if ie and "_224" in ie.get("name", "") and target_size != 224:
+            # fixed-resolution backbones (ViT position tables) crash at
+            # other crop sizes with an opaque broadcast error — fail early
+            raise CardError(
+                f"image_encoder_args.name {ie['name']!r} is a fixed-224 "
+                f"backbone but the card's target_size is {target_size}; "
+                f"set target_size: 224")
         kwargs["coordination_args"] = _normalize_coordination(
             kwargs.get("coordination_args"))
         kwargs["optim_args"] = OptimConfig.from_dict(kwargs.get("optim_args"))

@@ -3,15 +3,20 @@
 Drop-in replacement for ``flax.linen.MultiHeadDotProductAttention`` in the
 self-attention configuration both transformer families here use (q = k = v,
 optional key-padding mask): the SAME parameter tree (query/key/value/out
-DenseGeneral, identical names and shapes), so checkpoints are
-layout-compatible whether ``fused_attention`` is on or off.
+with (E, H, D) / (H, D, E) kernels, identical names and shapes), so
+checkpoints are layout-compatible whether ``fused_attention`` is on or off.
+
+Unlike flax's DenseGeneral projections, the kernels are APPLIED as packed
+(E, E) matmuls producing (B, L, E) directly — profiling showed the
+(B, L, H, D) head-split intermediates force XLA layout copies around the
+attention (10+ ms/step of pure copy/transpose on the flagship). No rank-4
+tensor ever materializes on this path.
 
 On a TPU backend the attention core runs through
-``ops.pallas.attention.mha_core`` (per-head lane-mask kernels: no head-split
-transposes, no HBM-materialized probs, in-kernel dropout — see that module's
-docstring for the measured motivation). On other backends (CPU tests,
-virtual multi-chip meshes) it falls back to an einsum composition with the
-same semantics.
+``ops.pallas.attention.mha_core`` (per-head lane-mask kernels — see that
+module's docstring for the measured motivation). On other backends (CPU
+tests, virtual multi-chip meshes) it falls back to an einsum composition
+with the same semantics.
 """
 
 from __future__ import annotations
@@ -23,6 +28,47 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.pallas.attention import mha_core
+
+
+class _PackedProj(nn.Module):
+    """(B, L, E_in) -> packed (B, L, H*D) with flax-DenseGeneral-shaped
+    params ((E_in, H, D) kernel, (H, D) bias) applied as one 2-D matmul."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        e_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (e_in, self.heads, self.head_dim), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.heads, self.head_dim), jnp.float32)
+        e = self.heads * self.head_dim
+        return x @ kernel.reshape(e_in, e).astype(self.dtype) \
+            + bias.reshape(e).astype(self.dtype)
+
+
+class _PackedOut(nn.Module):
+    """Packed (B, L, H*D) -> (B, L, E_out); params shaped (H, D, E_out) /
+    (E_out,) like flax MHA's ``out`` DenseGeneral."""
+
+    heads: int
+    head_dim: int
+    features: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.heads, self.head_dim, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        e = self.heads * self.head_dim
+        return x @ kernel.reshape(e, self.features).astype(self.dtype) \
+            + bias.astype(self.dtype)
 
 
 class FusedSelfAttention(nn.Module):
@@ -46,11 +92,9 @@ class FusedSelfAttention(nn.Module):
         d = e // h
         if h * d != e:
             raise ValueError(f"num_heads={h} must divide features={e}")
-        q = nn.DenseGeneral((h, d), dtype=self.dtype, name="query")(x)
-        k = nn.DenseGeneral((h, d), dtype=self.dtype, name="key")(x)
-        v = nn.DenseGeneral((h, d), dtype=self.dtype, name="value")(x)
-        # packed (B, L, E) lane layout — a free reshape of the minor dims
-        q2, k2, v2 = (t.reshape(b, l, e) for t in (q, k, v))
+        q = _PackedProj(h, d, self.dtype, name="query")(x)
+        k = _PackedProj(h, d, self.dtype, name="key")(x)
+        v = _PackedProj(h, d, self.dtype, name="value")(x)
 
         if mask_rows is None:
             bias = jnp.zeros((b, l), jnp.float32)
@@ -58,32 +102,32 @@ class FusedSelfAttention(nn.Module):
             bias = jnp.where(mask_rows, -1e9, 0.0).astype(jnp.float32)
 
         train = not deterministic and self.dropout_rate > 0.0
-        if train:
-            seed = jax.random.randint(self.make_rng("dropout"), (),
-                                      0, jnp.iinfo(jnp.int32).max)
-        else:
-            seed = jnp.zeros((), jnp.int32)
-
         if jax.default_backend() == "tpu":
-            o = mha_core(q2, k2, v2, bias, seed, h,
+            if train:
+                seed = jax.random.randint(self.make_rng("dropout"), (),
+                                          0, jnp.iinfo(jnp.int32).max)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            o = mha_core(q, k, v, bias, seed, h,
                          self.dropout_rate, train)
         else:
-            o = self._einsum_fallback(q, k, v, bias, train)
-            o = o.reshape(b, l, e)
-        o = o.reshape(b, l, h, d)
-        return nn.DenseGeneral(e, axis=(-2, -1), dtype=self.dtype,
-                               name="out")(o)
+            o = self._einsum_fallback(q, k, v, bias, train, h, d)
+        return _PackedOut(h, d, e, self.dtype, name="out")(o)
 
-    def _einsum_fallback(self, q, k, v, bias, train: bool) -> jnp.ndarray:
+    def _einsum_fallback(self, q, k, v, bias, train: bool,
+                         h: int, d: int) -> jnp.ndarray:
         """Same math as the kernel (f32 softmax, masked keys, prob dropout)
         for non-TPU backends; dropout uses the flax rng stream."""
-        d = q.shape[-1]
-        s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                       k.astype(jnp.float32)) * (1.0 / (d ** 0.5))
+        b, l, e = q.shape
+        qh = q.astype(jnp.float32).reshape(b, l, h, d)
+        kh = k.astype(jnp.float32).reshape(b, l, h, d)
+        vh = v.reshape(b, l, h, d)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * (1.0 / (d ** 0.5))
         s = s + bias[:, None, None, :]
         p = jax.nn.softmax(s, axis=-1)
         if train:
             keep = jax.random.bernoulli(self.make_rng("dropout"),
                                         1.0 - self.dropout_rate, p.shape)
             p = p * keep / (1.0 - self.dropout_rate)
-        return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), vh)
+        return o.reshape(b, l, e)

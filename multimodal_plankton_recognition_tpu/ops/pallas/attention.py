@@ -66,7 +66,8 @@ def _uniform(shape):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
-                *, heads: int, dropout_p: float, train: bool):
+                *, heads: int, dropout_p: float, train: bool,
+                narrow: bool):
     b = pl.program_id(0)
     q = q_ref[0].astype(jnp.float32)                     # (L, E)
     k = k_ref[0].astype(jnp.float32)
@@ -78,11 +79,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
     use_drop = train and dropout_p > 0.0
 
     acc = jnp.zeros((l, e), jnp.float32)
+    parts = []
     for h in range(heads):
-        mh = _head_mask(h, heads, e)
-        s = jax.lax.dot_general(
-            q * mh, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (L, L) head-h
+        if narrow:
+            # static lane slices: matmuls carry exactly the useful FLOPs
+            qh, kh = q[:, h * d:(h + 1) * d], k[:, h * d:(h + 1) * d]
+            vh = v[:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        else:
+            mh = _head_mask(h, heads, e)
+            vh = v * _head_mask(h, heads, e).astype(v.dtype)
+            s = jax.lax.dot_general(
+                q * mh, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (L, L) head-h
         z = s * scale + bias
         m = jnp.max(z, axis=1, keepdims=True)
         p = jnp.exp(z - m)
@@ -91,16 +101,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
             pltpu.prng_seed(seed_ref[0, 0] + b * heads + h)
             keep = (_uniform((l, l)) >= dropout_p).astype(jnp.float32)
             p = p * keep * (1.0 / (1.0 - dropout_p))
-        acc = acc + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v * _head_mask(h, heads, e)
-            .astype(v.dtype), (((1,), (0,)), ((), ())),
+        oh = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if narrow:
+            parts.append(oh)
+        else:
+            acc = acc + oh
+    if narrow:
+        acc = jnp.concatenate(parts, axis=1)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
                 dq_ref, dk_ref, dv_ref,
-                *, heads: int, dropout_p: float, train: bool):
+                *, heads: int, dropout_p: float, train: bool,
+                narrow: bool):
     b = pl.program_id(0)
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
@@ -115,18 +131,28 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
     dq = jnp.zeros((l, e), jnp.float32)
     dk = jnp.zeros((l, e), jnp.float32)
     dv = jnp.zeros((l, e), jnp.float32)
+    dq_parts, dk_parts, dv_parts = [], [], []
     for h in range(heads):
-        mh = _head_mask(h, heads, e)
-        qm = q * mh
-        s = jax.lax.dot_general(qm, k, (((1,), (1,)), ((), ())),
+        if narrow:
+            qm = q[:, h * d:(h + 1) * d]
+            kh = k[:, h * d:(h + 1) * d]
+            vh = v[:, h * d:(h + 1) * d]
+            do_m = do[:, h * d:(h + 1) * d]
+        else:
+            mh = _head_mask(h, heads, e)
+            qm = q * mh
+            kh = k * mh
+            vh = v
+            do_m = do * mh.astype(do.dtype)
+        s = jax.lax.dot_general(qm, kh if narrow else k,
+                                (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         z = s * scale + bias
         m = jnp.max(z, axis=1, keepdims=True)
         p = jnp.exp(z - m)
         p = p / jnp.sum(p, axis=1, keepdims=True)
-        do_m = (do * mh.astype(do.dtype))
-        # dPd = (dO masked to head h) @ v^T — other heads' lanes give 0
-        dpd = jax.lax.dot_general(do_m, v, (((1,), (1,)), ((), ())),
+        # dPd = (dO of head h) @ v^T — masked lanes give 0 in mask mode
+        dpd = jax.lax.dot_general(do_m, vh, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if use_drop:
             pltpu.prng_seed(seed_ref[0, 0] + b * heads + h)
@@ -138,15 +164,25 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
             dp = dpd
         dz = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
         ds = dz * scale
-        dq = dq + jax.lax.dot_general(
-            ds, k * mh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dk = dk + jax.lax.dot_general(
-            ds, qm, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dv = dv + jax.lax.dot_general(
+        dq_h = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dk_h = jax.lax.dot_general(ds, qm, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dv_h = jax.lax.dot_general(
             pd.astype(jnp.bfloat16), do_m, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if narrow:
+            dq_parts.append(dq_h)
+            dk_parts.append(dk_h)
+            dv_parts.append(dv_h)
+        else:
+            dq = dq + dq_h
+            dk = dk + dk_h
+            dv = dv + dv_h
+    if narrow:
+        dq = jnp.concatenate(dq_parts, axis=1)
+        dk = jnp.concatenate(dk_parts, axis=1)
+        dv = jnp.concatenate(dv_parts, axis=1)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
@@ -163,26 +199,31 @@ def _specs(l, e):
     return emb, bias, seed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def mha_core(q, k, v, bias_rows, seed,
              heads: int, dropout_p: float = 0.0, train: bool = False,
-             interpret: bool = False):
+             interpret: bool = False, narrow: bool = True):
     """Fused multi-head self-attention on packed (B, L, E) q/k/v.
 
     ``bias_rows``: (B, L) f32 additive pre-softmax key bias (0 for attend,
     a large negative for padded keys). ``seed``: int32 scalar array for the
     in-kernel dropout PRNG (ignored unless train and dropout_p > 0).
-    Returns (B, L, E) in q's dtype.
+    Returns (B, L, E) in q's dtype. ``narrow=True`` (default) extracts
+    heads with static lane slices so every matmul carries exactly the
+    useful FLOPs; ``narrow=False`` uses the lane-mask full-width
+    contractions (kept for comparison — see docs/PERF.md measurements).
     """
     return _mha_fwd(q, k, v, bias_rows, seed,
-                    heads, dropout_p, train, interpret)[0]
+                    heads, dropout_p, train, interpret, narrow)[0]
 
 
-def _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train, interpret):
+def _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train, interpret,
+             narrow=True):
     b, l, e = q.shape
     emb, bias_spec, seed_spec = _specs(l, e)
     kernel = functools.partial(_fwd_kernel, heads=heads,
-                               dropout_p=dropout_p, train=train)
+                               dropout_p=dropout_p, train=train,
+                               narrow=narrow)
     o = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -195,12 +236,13 @@ def _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train, interpret):
     return o, (q, k, v, bias_rows, seed)
 
 
-def _mha_bwd(heads, dropout_p, train, interpret, residuals, g):
+def _mha_bwd(heads, dropout_p, train, interpret, narrow, residuals, g):
     q, k, v, bias_rows, seed = residuals
     b, l, e = q.shape
     emb, bias_spec, seed_spec = _specs(l, e)
     kernel = functools.partial(_bwd_kernel, heads=heads,
-                               dropout_p=dropout_p, train=train)
+                               dropout_p=dropout_p, train=train,
+                               narrow=narrow)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(b,),

@@ -130,6 +130,33 @@ def main():
         vs = fused.init(jax.random.key(0), x)
         t_fused = time_layer(fused, vs)
 
+        # kernel-only fwd timing of both head-extraction variants
+        rs2 = np.random.RandomState(1)
+        q = jnp.asarray(rs2.randn(bs, l, e), jnp.bfloat16)
+        kk = jnp.asarray(rs2.randn(bs, l, e), jnp.bfloat16)
+        vv = jnp.asarray(rs2.randn(bs, l, e), jnp.bfloat16)
+        zb = jnp.zeros((bs, l), jnp.float32)
+        z0 = jnp.zeros((), jnp.int32)
+        for narrow in (True, False):
+            @jax.jit
+            def runk(q, kk, vv, _narrow=narrow):
+                def body(c, _):
+                    o = mha_core(c, kk, vv, zb, z0, heads,
+                                 0.0, False, False, _narrow)
+                    return o.astype(c.dtype), jnp.mean(
+                        o.astype(jnp.float32))
+                return jax.lax.scan(body, q, jnp.arange(K))
+            _, pr = runk(q, kk, vv)
+            np.asarray(pr)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, pr = runk(q, kk, vv)
+                np.asarray(pr)
+                ts.append(time.perf_counter() - t0)
+            print(f"  mha_core fwd narrow={narrow}: "
+                  f"{min(ts) / K * 1e3:.3f} ms")
+
         class _Flax(nn.Module):
             @nn.compact
             def __call__(self, x):

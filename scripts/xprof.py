@@ -24,7 +24,7 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 
-def _build(which, bs):
+def _build(which, bs, fused=False):
     import jax
     import jax.numpy as jnp
     from multimodal_plankton_recognition_tpu.config import OptimConfig
@@ -57,10 +57,12 @@ def _build(which, bs):
         model = MultiModel(
             dim_embed=512,
             image_encoder_args={"name": "vit_tiny_patch16_224",
-                                "in_chans": 1, "metadata": True},
+                                "in_chans": 1, "metadata": True,
+                                "fused_attention": fused},
             profile_encoder_args={"kind": "transformer", "dim_in": 6,
                                   "dim_hidden": 192, "num_layers": 2,
-                                  "num_head": 8, "target_size": 224},
+                                  "num_head": 8, "target_size": 224,
+                                  "fused_attention": fused},
             coordination_args={"method": "clip", "fused": True},
             dtype=jnp.bfloat16,
         )
@@ -115,6 +117,8 @@ def main():
     ap.add_argument("--bs", type=int, default=256)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--fused", action="store_true",
+                    help="enable the fused attention kernels (vit)")
     args = ap.parse_args()
 
     import jax
@@ -124,7 +128,7 @@ def main():
     enable_compilation_cache()
     use_fast_prng()
 
-    train_step, state, batch = _build(args.which, args.bs)
+    train_step, state, batch = _build(args.which, args.bs, args.fused)
     rng = jax.random.key(1)
     state, loss = train_step(state, batch, rng)  # compile + warm
     float(loss)

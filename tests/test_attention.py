@@ -34,13 +34,14 @@ def _mask_bias(b, l, seed=1):
     return jnp.where(jnp.asarray(pad), -1e9, 0.0).astype(jnp.float32), pad
 
 
+@pytest.mark.parametrize("narrow", [True, False])
 @pytest.mark.parametrize("heads,l,e", [(3, 197, 192), (8, 225, 192)])
-def test_kernel_matches_reference_fwd(heads, l, e):
+def test_kernel_matches_reference_fwd(heads, l, e, narrow):
     b = 4
     q, k, v = _rand_qkv(b, l, e)
     bias, _ = _mask_bias(b, l)
     seed = jnp.zeros((), jnp.int32)
-    out = mha_core(q, k, v, bias, seed, heads, 0.0, False, True)
+    out = mha_core(q, k, v, bias, seed, heads, 0.0, False, True, narrow)
     ref = mha_reference(q, k, v, bias, heads)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
