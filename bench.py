@@ -145,10 +145,11 @@ def _batch_vit():
 def main() -> None:
     import jax.numpy as jnp
     from multimodal_plankton_recognition_tpu import (
-        enable_compilation_cache, use_fast_prng,
+        enable_compilation_cache, use_fast_prng, use_tpu_runtime_flags,
     )
     from multimodal_plankton_recognition_tpu.models import MultiModel
 
+    use_tpu_runtime_flags()
     enable_compilation_cache()
     use_fast_prng()
 

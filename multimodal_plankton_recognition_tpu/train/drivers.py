@@ -18,7 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .. import enable_compilation_cache, use_fast_prng
+from .. import (enable_compilation_cache, use_fast_prng,
+                use_tpu_runtime_flags)
 from ..config import ModelCard, load_card
 from ..data import (
     MultiSet, ImageTransformTrain, ImageTransformTest, ProfileTransformTrain,
@@ -165,6 +166,7 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
                 resume: Optional[str] = None,
                 profile: bool = False) -> dict:
     """Contrastive cross-modal pretraining (reference: scripts/train_multi.py)."""
+    use_tpu_runtime_flags()
     enable_compilation_cache()
     use_fast_prng()
     card = load_card(modelcard)
@@ -285,6 +287,7 @@ def _train_classifier(kind: str, dataset: str | Path,
                       max_epochs: Optional[int] = None,
                       resume: Optional[str] = None,
                       profile: bool = False) -> dict:
+    use_tpu_runtime_flags()
     enable_compilation_cache()
     use_fast_prng()
     card = load_card(modelcard)

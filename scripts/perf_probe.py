@@ -240,8 +240,9 @@ PROBES = {
 
 def main():
     from multimodal_plankton_recognition_tpu import (
-        enable_compilation_cache, use_fast_prng,
+        enable_compilation_cache, use_fast_prng, use_tpu_runtime_flags,
     )
+    use_tpu_runtime_flags()
     enable_compilation_cache()
     use_fast_prng()
     names = sys.argv[1:] or list(PROBES)

@@ -123,8 +123,9 @@ def main():
 
     import jax
     from multimodal_plankton_recognition_tpu import (
-        enable_compilation_cache, use_fast_prng,
+        enable_compilation_cache, use_fast_prng, use_tpu_runtime_flags,
     )
+    use_tpu_runtime_flags()
     enable_compilation_cache()
     use_fast_prng()
 
