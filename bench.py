@@ -60,15 +60,17 @@ REPS = 3
 
 
 def _chip_specs() -> tuple:
+    """(peak, hbm_gbps) or (None, None) for an unrecognized chip — None
+    keeps the output line strict-JSON (NaN would not parse)."""
     import jax
     kind = jax.devices()[0].device_kind.lower()
     for sub, specs in _CHIP_SPECS:
         if sub in kind:
             return specs
-    return (float("nan"), float("nan"))
+    return (None, None)
 
 
-def _measure(model, init_kwargs, batch, tokens=()):
+def _measure(model, init_kwargs, batch):
     """(pairs/s, flops/pair) for one flagship model's train step."""
     import jax
     import jax.numpy as jnp
@@ -165,8 +167,9 @@ def main() -> None:
     pairs_per_sec, flops_per_pair, bytes_per_pair = _measure(
         effnet, {"buckets": BUCKETS}, _batch_effnet())
     peak, hbm_gbps = _chip_specs()
-    mfu = pairs_per_sec * flops_per_pair / (peak * 1e12)
-    hbm_util = pairs_per_sec * bytes_per_pair / (hbm_gbps * 1e9)
+    mfu = pairs_per_sec * flops_per_pair / (peak * 1e12) if peak else None
+    hbm_util = pairs_per_sec * bytes_per_pair / (hbm_gbps * 1e9) \
+        if hbm_gbps else None
 
     vit = MultiModel(
         dim_embed=512,
@@ -185,7 +188,8 @@ def main() -> None:
         vit_extra = {
             "vit_pairs_per_sec": round(vit_pps, 2),
             "vit_flops_per_pair": round(vit_fpp),
-            "vit_mfu": round(vit_pps * vit_fpp / (peak * 1e12), 4),
+            "vit_mfu": round(vit_pps * vit_fpp / (peak * 1e12), 4)
+            if peak else None,
         }
     except Exception as e:  # the headline metric must still print
         vit_extra = {"vit_error": f"{type(e).__name__}: {e}"}
@@ -196,9 +200,10 @@ def main() -> None:
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
         "flops_per_pair": round(flops_per_pair),
-        "mfu": round(mfu, 4),
+        "mfu": round(mfu, 4) if mfu is not None else None,
         "hbm_bytes_per_pair": round(bytes_per_pair),
-        "hbm_bw_utilization": round(hbm_util, 4),
+        "hbm_bw_utilization": round(hbm_util, 4)
+        if hbm_util is not None else None,
         "chip_peak_bf16_tflops": peak,
         "extra": vit_extra,
     }))

@@ -102,7 +102,10 @@ class FusedSelfAttention(nn.Module):
             bias = jnp.where(mask_rows, -1e9, 0.0).astype(jnp.float32)
 
         train = not deterministic and self.dropout_rate > 0.0
-        if jax.default_backend() == "tpu":
+        # kernel path only on a single-chip TPU: under a multi-chip GSPMD
+        # mesh the drivers shard the batch and a pallas_call has no
+        # partitioning rule — the einsum fallback shards cleanly instead
+        if jax.default_backend() == "tpu" and jax.device_count() == 1:
             if train:
                 seed = jax.random.randint(self.make_rng("dropout"), (),
                                           0, jnp.iinfo(jnp.int32).max)

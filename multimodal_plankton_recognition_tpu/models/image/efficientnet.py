@@ -223,7 +223,10 @@ class _MBConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        if self.fused:
+        # the fused parameter layout unconditionally declares squeeze-excite;
+        # an se_ratio <= 0 model must keep the unfused tree (no SE params)
+        # or fused/unfused checkpoints would diverge
+        if self.fused and self.se_ratio > 0:
             return self._fused_call(x, train=train)
         identity = x
         mid = self.in_ch * self.expand_ratio

@@ -78,7 +78,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
     bias = bias_ref[0]                                   # (1, L) additive
     use_drop = train and dropout_p > 0.0
 
-    acc = jnp.zeros((l, e), jnp.float32)
+    acc = None if narrow else jnp.zeros((l, e), jnp.float32)
     parts = []
     for h in range(heads):
         if narrow:
@@ -128,9 +128,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
     bias = bias_ref[0]                                   # (1, L)
     use_drop = train and dropout_p > 0.0
 
-    dq = jnp.zeros((l, e), jnp.float32)
-    dk = jnp.zeros((l, e), jnp.float32)
-    dv = jnp.zeros((l, e), jnp.float32)
+    if not narrow:
+        dq = jnp.zeros((l, e), jnp.float32)
+        dk = jnp.zeros((l, e), jnp.float32)
+        dv = jnp.zeros((l, e), jnp.float32)
     dq_parts, dk_parts, dv_parts = [], [], []
     for h in range(heads):
         if narrow:

@@ -112,9 +112,11 @@ def _maybe_load_pretrained(state, card: ModelCard):
     params, batch_stats, stats = load_pretrained_npz(
         state.params, path, batch_stats=state.batch_stats or {})
     print(f"loaded pretrained weights from {path}: {stats}")
-    return state.replace(params=params,
-                         batch_stats=batch_stats if state.batch_stats
-                         else state.batch_stats)
+    # a BN-free model (ViT) has falsy batch_stats; keep its original value
+    # rather than the loader's empty-dict merge result
+    if not state.batch_stats:
+        return state.replace(params=params)
+    return state.replace(params=params, batch_stats=batch_stats)
 
 
 def _maybe_resume(state, resume):

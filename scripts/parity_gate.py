@@ -22,7 +22,9 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
 # same platform setup as tests/conftest.py — the bands are asserted on the
-# CPU test platform, so they must be calibrated there too
+# CPU test platform, so they must be calibrated there too (incl. threefry:
+# rbg streams are not version-stable, see conftest)
+os.environ.setdefault("PLANKTON_PRNG", "threefry")
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

@@ -4,6 +4,11 @@ paths are exercised without TPU hardware (standard JAX testing pattern)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
+# Pin the suite to threefry regardless of the drivers' rbg default: rbg
+# bit-streams are not guaranteed stable across jax/XLA upgrades (the golden
+# parity bands must not drift), and use_fast_prng() inside a driver test
+# must not change the PRNG of tests that happen to run after it.
+os.environ.setdefault("PLANKTON_PRNG", "threefry")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
