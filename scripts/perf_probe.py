@@ -152,6 +152,61 @@ def probe_vit_train(bs, fused_attention=False):
           f"{bs * K / dt:,.0f} pairs/s", flush=True)
 
 
+def probe_encode(which, bs):
+    """Inference/serving path: jitted eval-mode MultiModel.encode (the
+    retrieval/encode.py hot loop) — pairs/s at eval batch ``bs``."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_plankton_recognition_tpu.models import MultiModel
+
+    if which == "b0":
+        model = _flagship()
+        batch = _batch(bs)
+    else:
+        model = MultiModel(
+            dim_embed=512,
+            image_encoder_args={"name": "vit_tiny_patch16_224",
+                                "in_chans": 1, "metadata": True,
+                                "fused_attention": True},
+            profile_encoder_args={"kind": "transformer", "dim_in": 6,
+                                  "dim_hidden": 192, "num_layers": 2,
+                                  "num_head": 8, "target_size": 224,
+                                  "fused_attention": True},
+            coordination_args={"method": "clip", "fused": True},
+            dtype=jnp.bfloat16,
+        )
+        rs = np.random.RandomState(0)
+        L = 225
+        batch = {
+            "image": jnp.asarray(rs.randn(bs, 224, 224, 1), jnp.float32),
+            "image_shape": jnp.asarray(rs.randint(50, 400, (bs, 2)),
+                                       jnp.int32),
+            "profile": jnp.asarray(rs.randn(bs, L, 6), jnp.float32),
+            "profile_len": jnp.asarray(rs.randint(20, 2000, (bs, 1)),
+                                       jnp.int32),
+            "time": jnp.asarray(np.tile(np.arange(L, dtype=np.int32),
+                                        (bs, 1))),
+            "padding_mask": jnp.zeros((bs, L), jnp.bool_),
+        }
+    variables = model.init(jax.random.key(0), train=False, buckets=2,
+                           **batch)
+
+    @jax.jit
+    def run_k(variables, batch):
+        def body(c, _):
+            # carry feeds the inputs or XLA hoists the loop-invariant body
+            b = dict(batch, image=batch["image"] + c)
+            emb = model.apply(variables, method="encode", train=False, **b)
+            probe = (jnp.mean(emb["image_emb"].astype(jnp.float32))
+                     + jnp.mean(emb["profile_emb"].astype(jnp.float32)))
+            return probe * 1e-6, probe
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+
+    dt = _time_scan(run_k, variables, batch)
+    print(f"encode[{which}] bs={bs}: {dt / K * 1e3:.2f} ms/batch, "
+          f"{bs * K / dt:,.0f} pairs/s", flush=True)
+
+
 def _bwd_probe(name, apply_fn, params, x):
     """fwd+bwd of apply_fn wrt params; carry = params so nothing hoists."""
     import jax
@@ -232,6 +287,8 @@ PROBES = {
     "vit_train256": partial(probe_vit_train, 256),
     "vit_train256_fused": partial(probe_vit_train, 256,
                                   fused_attention=True),
+    "encode_b0_256": partial(probe_encode, "b0", 256),
+    "encode_vit_256": partial(probe_encode, "vit", 256),
     "vit_train512": partial(probe_vit_train, 512),
     "vit_train1024": partial(probe_vit_train, 1024),
     "cnn_256": partial(probe_profile_encoder, 256),
