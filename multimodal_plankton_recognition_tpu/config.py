@@ -130,7 +130,8 @@ def _normalize_profile_encoder(args: Optional[Dict[str, Any]],
     allowed = {
         "transformer": {"dim_in", "dim_hidden", "target_size", "num_head",
                         "num_layers", "dim_feedforward", "dropout",
-                        "activation", "metadata", "fused_attention"},
+                        "activation", "metadata", "fused_attention",
+                        "fused_ffn"},
         "lstm": {"dim_in", "dim_hidden", "num_layers", "dropout", "metadata"},
         "cnn": {"dim_in", "blocks", "groups", "base_channels", "dropout",
                 "metadata", "norm"},
@@ -152,7 +153,7 @@ def _normalize_image_encoder(args: Optional[Dict[str, Any]]) -> Optional[Dict[st
         raise CardError("image_encoder_args requires a 'name' (backbone)")
     allowed = {"name", "pretrained", "num_classes", "in_chans", "dropout",
                "metadata", "pretrained_path", "fused_mbconv",
-               "fused_attention"}
+               "fused_attention", "fused_ffn"}
     unknown = set(args) - allowed
     if unknown:
         raise CardError(f"image_encoder_args: unknown keys {sorted(unknown)}")

@@ -1,0 +1,62 @@
+"""Transformer feed-forward block backed by the fused Pallas TPU kernel.
+
+Parameter-compatible with the unfused ``nn.Dense`` pair (same module names,
+same (E, F)/(F,) kernel/bias shapes), so checkpoints are interchangeable
+whether ``fused_ffn`` is on or off. The helper is scope-free: the caller
+declares the two ``DenseParams`` holders under its own module names
+(``ff1``/``ff2`` or ``mlp1``/``mlp2``) and passes the arrays in — keeping
+the parameter tree identical to the nn.Dense layout.
+
+On a single-chip TPU the block runs through ``ops.pallas.ffn.ffn_core``
+(hidden activation + dropout mask stay in VMEM — see that module's
+docstring); elsewhere an equivalent jnp composition with flax-rng dropout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.pallas.ffn import ffn_core, ffn_reference, _act
+
+
+class DenseParams(nn.Module):
+    """Parameter holder with flax ``nn.Dense``'s exact tree (kernel, bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, dim_in: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (dim_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def apply_fused_ffn(mod: nn.Module, x: jnp.ndarray,
+                    k1, b1, k2, b2, activation: str,
+                    dropout_p: float, deterministic: bool,
+                    dtype) -> jnp.ndarray:
+    """Dense -> act -> dropout -> Dense over (B, L, E); ``mod`` supplies the
+    dropout rng stream (make_rng) on the fallback/seed paths."""
+    train = not deterministic and dropout_p > 0.0
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        if train:
+            seed = jax.random.randint(mod.make_rng("dropout"), (),
+                                      0, jnp.iinfo(jnp.int32).max)
+        else:
+            seed = jnp.zeros((), jnp.int32)
+        return ffn_core(x.astype(dtype), k1, b1, k2, b2, seed,
+                        activation, dropout_p, train)
+    # non-TPU fallback: same math, flax rng dropout
+    xf = x.astype(dtype)
+    h = jnp.dot(xf, jnp.asarray(k1, dtype)) + jnp.asarray(b1, dtype)
+    h = _act(h.astype(jnp.float32), activation).astype(dtype)
+    if train:
+        keep = jax.random.bernoulli(mod.make_rng("dropout"),
+                                    1.0 - dropout_p, h.shape)
+        h = h * keep / (1.0 - dropout_p)
+    return (jnp.dot(h, jnp.asarray(k2, dtype))
+            + jnp.asarray(b2, dtype)).astype(dtype)

@@ -35,6 +35,8 @@ class ImageEncoder(nn.Module):
     #: route ViT attention through the fused Pallas kernel
     #: (models/attention.py / ops/pallas/attention.py)
     fused_attention: bool = False
+    #: route ViT MLPs through the fused Pallas FFN kernel (models/ffn.py)
+    fused_ffn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self) -> None:
@@ -42,6 +44,8 @@ class ImageEncoder(nn.Module):
             if self.fused_mbconv and "efficientnet" in self.name else {}
         if self.fused_attention and self.name.startswith("vit"):
             extra["fused_attention"] = True
+        if self.fused_ffn and self.name.startswith("vit"):
+            extra["fused_ffn"] = True
         self.backbone = create_backbone(self.name, in_chans=self.in_chans,
                                         dtype=self.dtype, **extra)
         self.drop = nn.Dropout(self.dropout)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..attention import FusedSelfAttention
+from ..ffn import DenseParams, apply_fused_ffn
 
 
 class _Block(nn.Module):
@@ -28,6 +29,8 @@ class _Block(nn.Module):
     dtype: jnp.dtype
     #: fused Pallas attention kernel (models/attention.py); same params
     fused_attention: bool = False
+    #: fused Pallas feed-forward kernel (models/ffn.py); same params
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool) -> jnp.ndarray:
@@ -44,11 +47,17 @@ class _Block(nn.Module):
                 name="attn")(h, h, h)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
-                     name="mlp1")(h)
-        h = nn.gelu(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp2")(h)
+        hidden = int(self.dim * self.mlp_ratio)
+        if self.fused_ffn:
+            k1, b1 = DenseParams(hidden, name="mlp1")(self.dim)
+            k2, b2 = DenseParams(self.dim, name="mlp2")(hidden)
+            h = apply_fused_ffn(self, h, k1, b1, k2, b2, "gelu",
+                                self.dropout, deterministic, self.dtype)
+        else:
+            h = nn.Dense(hidden, dtype=self.dtype, name="mlp1")(h)
+            h = nn.gelu(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.Dense(self.dim, dtype=self.dtype, name="mlp2")(h)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return x
 
@@ -64,6 +73,8 @@ class ViT(nn.Module):
     img_size: int = 224
     #: fused Pallas attention kernel (models/attention.py)
     fused_attention: bool = False
+    #: fused Pallas feed-forward kernel (models/ffn.py)
+    fused_ffn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -96,6 +107,7 @@ class ViT(nn.Module):
             x = _Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                        self.dropout, self.dtype,
                        fused_attention=self.fused_attention,
+                       fused_ffn=self.fused_ffn,
                        name=f"block_{i}")(
                 x, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)

@@ -26,6 +26,7 @@ import flax.linen as nn
 
 from ...data.tokenize import tokenize_transformer
 from ..attention import FusedSelfAttention
+from ..ffn import DenseParams, apply_fused_ffn
 
 
 class _EncoderLayer(nn.Module):
@@ -41,6 +42,9 @@ class _EncoderLayer(nn.Module):
     #: route attention through the fused Pallas TPU kernel (same parameter
     #: tree as flax MHA — see models/attention.py); single-chip path
     fused_attention: bool = False
+    #: route the feed-forward through the fused Pallas kernel (same
+    #: parameter tree as the nn.Dense pair — see models/ffn.py)
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, padding_mask: Optional[jnp.ndarray],
@@ -65,11 +69,20 @@ class _EncoderLayer(nn.Module):
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + attn)
 
-        act = {"gelu": nn.gelu, "relu": nn.relu}[self.activation]
-        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="ff1")(x)
-        h = act(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Dense(self.dim_hidden, dtype=self.dtype, name="ff2")(h)
+        if self.fused_ffn:
+            k1, b1 = DenseParams(self.dim_feedforward,
+                                 name="ff1")(self.dim_hidden)
+            k2, b2 = DenseParams(self.dim_hidden,
+                                 name="ff2")(self.dim_feedforward)
+            h = apply_fused_ffn(self, x, k1, b1, k2, b2, self.activation,
+                                self.dropout, deterministic, self.dtype)
+        else:
+            act = {"gelu": nn.gelu, "relu": nn.relu}[self.activation]
+            h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                         name="ff1")(x)
+            h = act(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.Dense(self.dim_hidden, dtype=self.dtype, name="ff2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         x = nn.LayerNorm(dtype=self.dtype, name="ln2")(x + h)
         return x
@@ -88,6 +101,8 @@ class ProfileTransformer(nn.Module):
     #: fused Pallas attention kernel (models/attention.py); checkpoint
     #: layout is identical either way
     fused_attention: bool = False
+    #: fused Pallas feed-forward kernel (models/ffn.py); same layout rule
+    fused_ffn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -120,6 +135,7 @@ class ProfileTransformer(nn.Module):
                               self.dim_feedforward, self.dropout,
                               self.activation, self.dtype,
                               fused_attention=self.fused_attention,
+                              fused_ffn=self.fused_ffn,
                               name=f"layer_{i}")(
                 x, padding_mask, deterministic=deterministic)
         x = x[:, 0]  # CLS position

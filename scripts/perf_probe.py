@@ -97,7 +97,7 @@ def probe_train_step(bs, img_dtype=None, label=""):
           f"{bs * K / dt:,.0f} pairs/s", flush=True)
 
 
-def probe_vit_train(bs, fused_attention=False):
+def probe_vit_train(bs, fused_attention=False, fused_ffn=False):
     """Full train step for the second flagship family (ViT-T/16 +
     ProfileTransformer) at a given per-chip batch; fused_attention routes
     both transformers through the Pallas lane-mask attention kernel."""
@@ -114,11 +114,13 @@ def probe_vit_train(bs, fused_attention=False):
         dim_embed=512,
         image_encoder_args={"name": "vit_tiny_patch16_224", "in_chans": 1,
                             "metadata": True,
-                            "fused_attention": fused_attention},
+                            "fused_attention": fused_attention,
+                            "fused_ffn": fused_ffn},
         profile_encoder_args={"kind": "transformer", "dim_in": 6,
                               "dim_hidden": 192, "num_layers": 2,
                               "num_head": 8, "target_size": 224,
-                              "fused_attention": fused_attention},
+                              "fused_attention": fused_attention,
+                              "fused_ffn": fused_ffn},
         coordination_args={"method": "clip", "fused": True},
         dtype=jnp.bfloat16,
     )
@@ -147,7 +149,8 @@ def probe_vit_train(bs, fused_attention=False):
         return jax.lax.scan(body, state, jnp.arange(K))
 
     dt = _time_scan(run_k, state, batch, jax.random.key(1))
-    tag = " fused-attn" if fused_attention else ""
+    tag = (" fused-attn" if fused_attention else "") + \
+        (" fused-ffn" if fused_ffn else "")
     print(f"vit_train bs={bs}{tag}: {dt / K * 1e3:.2f} ms/step, "
           f"{bs * K / dt:,.0f} pairs/s", flush=True)
 
@@ -287,6 +290,8 @@ PROBES = {
     "vit_train256": partial(probe_vit_train, 256),
     "vit_train256_fused": partial(probe_vit_train, 256,
                                   fused_attention=True),
+    "vit_train256_fused2": partial(probe_vit_train, 256,
+                                   fused_attention=True, fused_ffn=True),
     "encode_b0_256": partial(probe_encode, "b0", 256),
     "encode_vit_256": partial(probe_encode, "vit", 256),
     "vit_train512": partial(probe_vit_train, 512),
