@@ -171,3 +171,36 @@ def test_transformer_encoders_build_with_fused_flag():
     pa = vit_a.init(jax.random.key(0), img)
     pb = vit_b.init(jax.random.key(0), img)
     assert jax.tree.structure(pa) == jax.tree.structure(pb)
+
+
+def test_fused_flag_shards_on_multi_device_mesh():
+    """With fused_attention on, a GSPMD-sharded batch must still work: on
+    any multi-device mesh the module takes the einsum fallback (a
+    pallas_call has no partitioning rule — the round-2 review fix), which
+    XLA shards cleanly. Exercised on the virtual 8-device CPU mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from multimodal_plankton_recognition_tpu.models.profile.factory import (
+        create_profile_encoder,
+    )
+
+    devs = np.array(jax.devices()[:8]).reshape(8, 1)
+    mesh = Mesh(devs, ("data", "model"))
+    enc = create_profile_encoder(
+        {"kind": "transformer", "dim_in": 6, "dim_hidden": 32,
+         "num_head": 4, "num_layers": 1, "target_size": 16,
+         "dim_feedforward": 64, "fused_attention": True})
+    prof = jnp.zeros((16, 17, 6))
+    time = jnp.zeros((16, 17), jnp.int32)
+    mask = jnp.zeros((16, 17), bool)
+    plen = jnp.ones((16, 1), jnp.int32)
+    variables = enc.init(jax.random.key(0), prof, time, mask, plen)
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    prof = jax.device_put(prof, NamedSharding(mesh, P("data", None, None)))
+    time = jax.device_put(time, batch_sharding)
+    mask = jax.device_put(mask, batch_sharding)
+    plen = jax.device_put(plen, batch_sharding)
+
+    out = jax.jit(lambda v, p, t, m, pl_: enc.apply(v, p, t, m, pl_))(
+        variables, prof, time, mask, plen)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
