@@ -116,75 +116,32 @@ def _measure(model, init_kwargs, batch):
     return BATCH * K / dt, flops_per_pair, bytes_per_pair
 
 
-def _batch_effnet():
-    import jax.numpy as jnp
-    rs = np.random.RandomState(0)
-    return {
-        "image": jnp.asarray(rs.randn(BATCH, IMG, IMG, 1), jnp.float32),
-        "image_shape": jnp.asarray(rs.randint(50, 400, (BATCH, 2)), jnp.int32),
-        "profile": jnp.asarray(rs.randn(BATCH, PLEN, 6), jnp.float32),
-        "profile_len": jnp.asarray(rs.randint(20, 2000, (BATCH, 1)), jnp.int32),
-    }
-
-
-def _batch_vit():
-    """ViT-T + ProfileTransformer flagship: transformer tokenize contract
-    (CLS row prepended -> PLEN+1 tokens, time ids, padding mask)."""
-    import jax.numpy as jnp
-    rs = np.random.RandomState(0)
-    L = PLEN + 1
-    time_ids = np.tile(np.arange(L, dtype=np.int32), (BATCH, 1))
-    return {
-        "image": jnp.asarray(rs.randn(BATCH, IMG, IMG, 1), jnp.float32),
-        "image_shape": jnp.asarray(rs.randint(50, 400, (BATCH, 2)), jnp.int32),
-        "profile": jnp.asarray(rs.randn(BATCH, L, 6), jnp.float32),
-        "profile_len": jnp.asarray(rs.randint(20, 2000, (BATCH, 1)), jnp.int32),
-        "time": jnp.asarray(time_ids),
-        "padding_mask": jnp.zeros((BATCH, L), jnp.bool_),
-    }
-
-
 def main() -> None:
-    import jax.numpy as jnp
     from multimodal_plankton_recognition_tpu import (
         enable_compilation_cache, use_fast_prng, use_tpu_runtime_flags,
     )
-    from multimodal_plankton_recognition_tpu.models import MultiModel
+    from multimodal_plankton_recognition_tpu.models.flagships import (
+        flagship_b0, flagship_vit, synthetic_batch_b0, synthetic_batch_vit,
+    )
 
     use_tpu_runtime_flags()
     enable_compilation_cache()
     use_fast_prng()
 
-    effnet = MultiModel(
-        dim_embed=512,
-        image_encoder_args={"name": "efficientnet_b0", "in_chans": 1,
-                            "metadata": True},
-        profile_encoder_args={"kind": "cnn", "dim_in": 6,
-                              "blocks": (2, 2, 2, 2), "base_channels": 32},
-        coordination_args={"method": "clip", "fused": True},
-        dtype=jnp.bfloat16,
-    )
+    effnet = flagship_b0()
     pairs_per_sec, flops_per_pair, bytes_per_pair = _measure(
-        effnet, {"buckets": BUCKETS}, _batch_effnet())
+        effnet, {"buckets": BUCKETS},
+        synthetic_batch_b0(BATCH, img=IMG, plen=PLEN))
     peak, hbm_gbps = _chip_specs()
     mfu = pairs_per_sec * flops_per_pair / (peak * 1e12) if peak else None
     hbm_util = pairs_per_sec * bytes_per_pair / (hbm_gbps * 1e9) \
         if hbm_gbps else None
 
-    vit = MultiModel(
-        dim_embed=512,
-        image_encoder_args={"name": "vit_tiny_patch16_224", "in_chans": 1,
-                            "metadata": True, "fused_attention": True},
-        profile_encoder_args={"kind": "transformer", "dim_in": 6,
-                              "dim_hidden": 192, "num_layers": 2,
-                              "num_head": 8, "target_size": PLEN,
-                              "fused_attention": True},
-        coordination_args={"method": "clip", "fused": True},
-        dtype=jnp.bfloat16,
-    )
+    vit = flagship_vit(target_size=PLEN)
     try:
         vit_pps, vit_fpp, _ = _measure(vit, {"buckets": BUCKETS},
-                                       _batch_vit())
+                                       synthetic_batch_vit(BATCH, img=IMG,
+                                                           target_size=PLEN))
         vit_extra = {
             "vit_pairs_per_sec": round(vit_pps, 2),
             "vit_flops_per_pair": round(vit_fpp),

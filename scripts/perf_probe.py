@@ -40,29 +40,17 @@ def _time_scan(fn, *args) -> float:
 
 
 def _batch(bs, img=224, plen=224, img_dtype=None):
-    import jax.numpy as jnp
-    rs = np.random.RandomState(0)
-    img_dtype = img_dtype or jnp.float32
-    return {
-        "image": jnp.asarray(rs.randn(bs, img, img, 1), img_dtype),
-        "image_shape": jnp.asarray(rs.randint(50, 400, (bs, 2)), jnp.int32),
-        "profile": jnp.asarray(rs.randn(bs, plen, 6), jnp.float32),
-        "profile_len": jnp.asarray(rs.randint(20, 2000, (bs, 1)), jnp.int32),
-    }
-
-
-def _flagship(dim_embed=512, **enc_kw):
-    import jax.numpy as jnp
-    from multimodal_plankton_recognition_tpu.models import MultiModel
-    return MultiModel(
-        dim_embed=dim_embed,
-        image_encoder_args={"name": "efficientnet_b0", "in_chans": 1,
-                            "metadata": True, **enc_kw},
-        profile_encoder_args={"kind": "cnn", "dim_in": 6,
-                              "blocks": (2, 2, 2, 2), "base_channels": 32},
-        coordination_args={"method": "clip", "fused": True},
-        dtype=jnp.bfloat16,
+    from multimodal_plankton_recognition_tpu.models.flagships import (
+        synthetic_batch_b0,
     )
+    return synthetic_batch_b0(bs, img=img, plen=plen, img_dtype=img_dtype)
+
+
+def _flagship(dim_embed=512):
+    from multimodal_plankton_recognition_tpu.models.flagships import (
+        flagship_b0,
+    )
+    return flagship_b0(dim_embed)
 
 
 def probe_train_step(bs, img_dtype=None, label=""):
@@ -109,31 +97,13 @@ def probe_vit_train(bs, fused_attention=False, fused_ffn=False):
         make_optimizer, create_train_state, make_multi_steps,
     )
 
-    buckets = bs // 16
-    model = MultiModel(
-        dim_embed=512,
-        image_encoder_args={"name": "vit_tiny_patch16_224", "in_chans": 1,
-                            "metadata": True,
-                            "fused_attention": fused_attention,
-                            "fused_ffn": fused_ffn},
-        profile_encoder_args={"kind": "transformer", "dim_in": 6,
-                              "dim_hidden": 192, "num_layers": 2,
-                              "num_head": 8, "target_size": 224,
-                              "fused_attention": fused_attention,
-                              "fused_ffn": fused_ffn},
-        coordination_args={"method": "clip", "fused": True},
-        dtype=jnp.bfloat16,
+    from multimodal_plankton_recognition_tpu.models.flagships import (
+        flagship_vit, synthetic_batch_vit,
     )
-    rs = np.random.RandomState(0)
-    L = 225
-    batch = {
-        "image": jnp.asarray(rs.randn(bs, 224, 224, 1), jnp.float32),
-        "image_shape": jnp.asarray(rs.randint(50, 400, (bs, 2)), jnp.int32),
-        "profile": jnp.asarray(rs.randn(bs, L, 6), jnp.float32),
-        "profile_len": jnp.asarray(rs.randint(20, 2000, (bs, 1)), jnp.int32),
-        "time": jnp.asarray(np.tile(np.arange(L, dtype=np.int32), (bs, 1))),
-        "padding_mask": jnp.zeros((bs, L), jnp.bool_),
-    }
+    buckets = bs // 16
+    model = flagship_vit(fused_attention=fused_attention,
+                         fused_ffn=fused_ffn)
+    batch = synthetic_batch_vit(bs)
     tx = make_optimizer(OptimConfig(lr=5e-3, momentum=0.9,
                                     weight_decay=1e-3, nesterov=True))
     state = create_train_state(model, jax.random.key(0), batch, tx,
@@ -162,35 +132,15 @@ def probe_encode(which, bs):
     import jax.numpy as jnp
     from multimodal_plankton_recognition_tpu.models import MultiModel
 
+    from multimodal_plankton_recognition_tpu.models.flagships import (
+        flagship_vit, synthetic_batch_vit,
+    )
     if which == "b0":
         model = _flagship()
         batch = _batch(bs)
     else:
-        model = MultiModel(
-            dim_embed=512,
-            image_encoder_args={"name": "vit_tiny_patch16_224",
-                                "in_chans": 1, "metadata": True,
-                                "fused_attention": True},
-            profile_encoder_args={"kind": "transformer", "dim_in": 6,
-                                  "dim_hidden": 192, "num_layers": 2,
-                                  "num_head": 8, "target_size": 224,
-                                  "fused_attention": True},
-            coordination_args={"method": "clip", "fused": True},
-            dtype=jnp.bfloat16,
-        )
-        rs = np.random.RandomState(0)
-        L = 225
-        batch = {
-            "image": jnp.asarray(rs.randn(bs, 224, 224, 1), jnp.float32),
-            "image_shape": jnp.asarray(rs.randint(50, 400, (bs, 2)),
-                                       jnp.int32),
-            "profile": jnp.asarray(rs.randn(bs, L, 6), jnp.float32),
-            "profile_len": jnp.asarray(rs.randint(20, 2000, (bs, 1)),
-                                       jnp.int32),
-            "time": jnp.asarray(np.tile(np.arange(L, dtype=np.int32),
-                                        (bs, 1))),
-            "padding_mask": jnp.zeros((bs, L), jnp.bool_),
-        }
+        model = flagship_vit()
+        batch = synthetic_batch_vit(bs)
     variables = model.init(jax.random.key(0), train=False, buckets=2,
                            **batch)
 

@@ -26,58 +26,20 @@ import numpy as np
 
 def _build(which, bs, fused=False):
     import jax
-    import jax.numpy as jnp
     from multimodal_plankton_recognition_tpu.config import OptimConfig
-    from multimodal_plankton_recognition_tpu.models import MultiModel
+    from multimodal_plankton_recognition_tpu.models.flagships import (
+        flagship_b0, flagship_vit, synthetic_batch_b0, synthetic_batch_vit,
+    )
     from multimodal_plankton_recognition_tpu.train import (
         make_optimizer, create_train_state, make_multi_steps,
     )
 
-    rs = np.random.RandomState(0)
     if which == "b0":
-        model = MultiModel(
-            dim_embed=512,
-            image_encoder_args={"name": "efficientnet_b0", "in_chans": 1,
-                                "metadata": True},
-            profile_encoder_args={"kind": "cnn", "dim_in": 6,
-                                  "blocks": (2, 2, 2, 2),
-                                  "base_channels": 32},
-            coordination_args={"method": "clip", "fused": True},
-            dtype=jnp.bfloat16,
-        )
-        batch = {
-            "image": jnp.asarray(rs.randn(bs, 224, 224, 1), jnp.float32),
-            "image_shape": jnp.asarray(rs.randint(50, 400, (bs, 2)),
-                                       jnp.int32),
-            "profile": jnp.asarray(rs.randn(bs, 224, 6), jnp.float32),
-            "profile_len": jnp.asarray(rs.randint(20, 2000, (bs, 1)),
-                                       jnp.int32),
-        }
+        model = flagship_b0()
+        batch = synthetic_batch_b0(bs)
     else:
-        model = MultiModel(
-            dim_embed=512,
-            image_encoder_args={"name": "vit_tiny_patch16_224",
-                                "in_chans": 1, "metadata": True,
-                                "fused_attention": fused},
-            profile_encoder_args={"kind": "transformer", "dim_in": 6,
-                                  "dim_hidden": 192, "num_layers": 2,
-                                  "num_head": 8, "target_size": 224,
-                                  "fused_attention": fused},
-            coordination_args={"method": "clip", "fused": True},
-            dtype=jnp.bfloat16,
-        )
-        L = 225
-        batch = {
-            "image": jnp.asarray(rs.randn(bs, 224, 224, 1), jnp.float32),
-            "image_shape": jnp.asarray(rs.randint(50, 400, (bs, 2)),
-                                       jnp.int32),
-            "profile": jnp.asarray(rs.randn(bs, L, 6), jnp.float32),
-            "profile_len": jnp.asarray(rs.randint(20, 2000, (bs, 1)),
-                                       jnp.int32),
-            "time": jnp.asarray(np.tile(np.arange(L, dtype=np.int32),
-                                        (bs, 1))),
-            "padding_mask": jnp.zeros((bs, L), jnp.bool_),
-        }
+        model = flagship_vit(fused_attention=fused, fused_ffn=False)
+        batch = synthetic_batch_vit(bs)
 
     tx = make_optimizer(OptimConfig(lr=5e-3, momentum=0.9,
                                     weight_decay=1e-3, nesterov=True))
