@@ -184,7 +184,8 @@ def _bwd_probe(name, apply_fn, params, x):
           f"{bs * K / dt:,.0f} samples/s", flush=True)
 
 
-def probe_image_encoder(bs, variant=None, fused=False):
+def probe_image_encoder(bs, variant=None, fused=False,
+                        fused_attention=False):
     import jax
     import jax.numpy as jnp
     from multimodal_plankton_recognition_tpu.models.image.registry import (
@@ -192,6 +193,8 @@ def probe_image_encoder(bs, variant=None, fused=False):
     )
     name = variant or "efficientnet_b0"
     extra = {"fused": True} if fused else {}
+    if fused_attention:
+        extra["fused_attention"] = True
     enc = create_backbone(name, in_chans=1, dtype=jnp.bfloat16, **extra)
     x = jnp.asarray(np.random.RandomState(0).randn(bs, 224, 224, 1),
                     jnp.float32)
@@ -237,6 +240,10 @@ PROBES = {
     "b0_fused_256": partial(probe_image_encoder, 256, fused=True),
     "b0_1024": partial(probe_image_encoder, 1024),
     "vit_256": partial(probe_image_encoder, 256, "vit_tiny_patch16_224"),
+    "vit_s_256": partial(probe_image_encoder, 256, "vit_small_patch16_224"),
+    "vit_s_256_fused": partial(probe_image_encoder, 256,
+                               "vit_small_patch16_224",
+                               fused_attention=True),
     "vit_train256": partial(probe_vit_train, 256),
     "vit_train256_fused": partial(probe_vit_train, 256,
                                   fused_attention=True),
