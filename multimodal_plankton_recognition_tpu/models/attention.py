@@ -102,17 +102,22 @@ class FusedSelfAttention(nn.Module):
             bias = jnp.where(mask_rows, -1e9, 0.0).astype(jnp.float32)
 
         train = not deterministic and self.dropout_rate > 0.0
-        # kernel path only on a single-chip TPU: under a multi-chip GSPMD
-        # mesh the drivers shard the batch and a pallas_call has no
-        # partitioning rule — the einsum fallback shards cleanly instead
-        if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        # kernel path only where a pallas_call sees the full local batch:
+        # single-chip TPU, or a per-chip shard_map trace (ops/kernels.py) —
+        # under a multi-chip GSPMD mesh the einsum fallback shards cleanly.
+        # bf16-only: the kernel rounds probs/values through bfloat16
+        # internally, so an f32 card keeps the full-precision einsum path
+        # (round-2 advisor finding).
+        from ..ops.kernels import kernel_path_allowed
+        if kernel_path_allowed() and self.dtype == jnp.bfloat16:
             if train:
                 seed = jax.random.randint(self.make_rng("dropout"), (),
                                           0, jnp.iinfo(jnp.int32).max)
             else:
                 seed = jnp.zeros((), jnp.int32)
+            interpret = jax.default_backend() != "tpu"
             o = mha_core(q, k, v, bias, seed, h,
-                         self.dropout_rate, train)
+                         self.dropout_rate, train, interpret)
         else:
             o = self._einsum_fallback(q, k, v, bias, train, h, d)
         return _PackedOut(h, d, e, self.dtype, name="out")(o)

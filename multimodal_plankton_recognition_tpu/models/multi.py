@@ -46,10 +46,16 @@ class CoordinationHead(nn.Module):
     def __call__(self, image_emb: jnp.ndarray, profile_emb: jnp.ndarray,
                  buckets: int = 1,
                  label: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from ..ops.kernels import kernel_path_allowed
+
         m = self.method
         if m in ("clip", "clipplus", "siglip", "siglipplus"):
             logit_scale = self.param("logit_scale", nn.initializers.ones, ())
-        if self.fused and m in ("clip", "clipplus", "siglip", "siglipplus"):
+        # kernel path only where a pallas_call sees the full local batch
+        # (single-chip TPU / per-chip shard_map trace); under a multi-chip
+        # GSPMD mesh the plain losses below shard cleanly instead
+        if self.fused and m in ("clip", "clipplus", "siglip", "siglipplus") \
+                and kernel_path_allowed():
             from ..ops.pallas.contrastive import (
                 clip_loss_fused, siglip_loss_fused,
             )

@@ -114,7 +114,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
-                dq_ref, dk_ref, dv_ref,
+                dq_ref, dk_ref, dv_ref, db_ref,
                 *, heads: int, dropout_p: float, train: bool,
                 narrow: bool):
     b = pl.program_id(0)
@@ -132,6 +132,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
         dq = jnp.zeros((l, e), jnp.float32)
         dk = jnp.zeros((l, e), jnp.float32)
         dv = jnp.zeros((l, e), jnp.float32)
+    # bias enters every head's pre-softmax scores: d bias[key] =
+    # sum over heads and query rows of dz (2-D axis-0 keepdims sum — the
+    # Mosaic-safe reduction pattern, see ops/pallas/mbconv.py lessons)
+    db = jnp.zeros((1, l), jnp.float32)
     dq_parts, dk_parts, dv_parts = [], [], []
     for h in range(heads):
         if narrow:
@@ -164,6 +168,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
             pd = p
             dp = dpd
         dz = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        db = db + jnp.sum(dz, axis=0, keepdims=True)
         ds = dz * scale
         dq_h = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -187,6 +192,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
+    db_ref[0] = db
 
 
 def _specs(l, e):
@@ -244,15 +250,16 @@ def _mha_bwd(heads, dropout_p, train, interpret, narrow, residuals, g):
     kernel = functools.partial(_bwd_kernel, heads=heads,
                                dropout_p=dropout_p, train=train,
                                narrow=narrow)
-    dq, dk, dv = pl.pallas_call(
+    dq, dk, dv, db = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[emb, emb, emb, bias_spec, seed_spec, emb],
-        out_specs=(emb, emb, emb),
+        out_specs=(emb, emb, emb, bias_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, l, e), q.dtype),
             jax.ShapeDtypeStruct((b, l, e), k.dtype),
             jax.ShapeDtypeStruct((b, l, e), v.dtype),
+            jax.ShapeDtypeStruct((b, 1, l), jnp.float32),
         ),
         interpret=interpret,
     )(q, k, v, jnp.asarray(bias_rows, jnp.float32).reshape(b, 1, l),
@@ -260,8 +267,9 @@ def _mha_bwd(heads, dropout_p, train, interpret, narrow, residuals, g):
       g.astype(q.dtype))
     import numpy as np
     dseed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
-    return dq, dk, dv, jnp.zeros_like(jnp.asarray(bias_rows, jnp.float32)), \
-        dseed
+    db = db.reshape(jnp.shape(bias_rows)).astype(
+        jnp.result_type(bias_rows))
+    return dq, dk, dv, db, dseed
 
 
 mha_core.defvjp(_mha_fwd, _mha_bwd)

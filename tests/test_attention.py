@@ -71,6 +71,30 @@ def test_kernel_matches_reference_grad(heads, l, e):
                                    rtol=0.05, atol=0.05)
 
 
+def test_kernel_bias_gradient_matches_reference():
+    """The bias cotangent is real (sum of dz over heads and query rows) —
+    a learned additive bias (e.g. relative positions) would train with the
+    correct gradient, not silently zero (round-2 advisor finding)."""
+    heads, b, l, e = 4, 2, 32, 64
+    q, k, v = _rand_qkv(b, l, e, dtype=jnp.float32)
+    rs = np.random.RandomState(11)
+    bias = jnp.asarray(rs.randn(b, l) * 0.5, jnp.float32)
+    seed = jnp.zeros((), jnp.int32)
+
+    def loss_kernel(bias):
+        o = mha_core(q, k, v, bias, seed, heads, 0.0, False, True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(bias):
+        o = mha_reference(q, k, v, bias, heads)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gk = jax.grad(loss_kernel)(bias)
+    gr = jax.grad(loss_ref)(bias)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=0.05, atol=0.05)
+
+
 def test_kernel_dropout_statistics():
     """Train-mode dropout: ~p of the prob mass dropped, kept entries scaled
     by 1/(1-p); row means of the output stay near the no-drop output.
