@@ -153,10 +153,14 @@ def _normalize_image_encoder(args: Optional[Dict[str, Any]]) -> Optional[Dict[st
         raise CardError("image_encoder_args requires a 'name' (backbone)")
     allowed = {"name", "pretrained", "num_classes", "in_chans", "dropout",
                "metadata", "pretrained_path", "fused_mbconv",
-               "fused_attention", "fused_ffn"}
+               "fused_attention", "fused_ffn", "remat", "backbone_kwargs"}
     unknown = set(args) - allowed
     if unknown:
         raise CardError(f"image_encoder_args: unknown keys {sorted(unknown)}")
+    bk = args.get("backbone_kwargs")
+    if bk is not None and not isinstance(bk, dict):
+        raise CardError("image_encoder_args.backbone_kwargs must be a "
+                        "mapping of backbone constructor overrides")
     args.setdefault("in_chans", 1)
     args.setdefault("dropout", 0.1)
     args.setdefault("metadata", True)
@@ -208,6 +212,10 @@ class ModelCard:
     mesh: Optional[Dict[str, int]] = None      # e.g. {data: 8, model: 1}
     device_augment: bool = False  # run crop/flip/noise on TPU in the step
     loader: str = "threads"       # 'threads' | 'grain' (multiprocess workers)
+    #: multi-chip step mode: 'gspmd' (XLA-inserted collectives) or
+    #: 'shard_map' (explicit per-chip step, keeps the Pallas kernels on
+    #: multi-chip meshes; BatchNorm-free models only — train/shard_step.py)
+    parallel: str = "gspmd"
     raw: Dict[str, Any] = dataclasses.field(default_factory=dict, repr=False)
 
     def __post_init__(self) -> None:
@@ -217,6 +225,9 @@ class ModelCard:
             raise CardError(
                 f"bs ({self.bs}) must be divisible by buckets ({self.buckets})"
             )
+        if self.parallel not in ("gspmd", "shard_map"):
+            raise CardError(
+                f"parallel must be 'gspmd' or 'shard_map', got {self.parallel!r}")
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ModelCard":
@@ -255,9 +266,13 @@ class ModelCard:
                     f"profiles are resampled to {target_size} steps and the "
                     f"position table would be indexed out of bounds")
         ie = kwargs["image_encoder_args"]
-        if ie and "_224" in ie.get("name", "") and target_size != 224:
+        if ie and "_224" in ie.get("name", "") and target_size != 224 \
+                and (ie.get("backbone_kwargs") or {}).get("img_size") \
+                != target_size:
             # fixed-resolution backbones (ViT position tables) crash at
             # other crop sizes with an opaque broadcast error — fail early
+            # (a backbone_kwargs img_size override matching the crop is the
+            # sanctioned escape, e.g. the scaled-down parity-gate ViT)
             raise CardError(
                 f"image_encoder_args.name {ie['name']!r} is a fixed-224 "
                 f"backbone but the card's target_size is {target_size}; "

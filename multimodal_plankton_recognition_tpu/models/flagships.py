@@ -12,15 +12,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def flagship_b0(dim_embed: int = 512):
-    """EfficientNet-B0 + CNN_2 + fused CLIP — the reference's best model."""
+def flagship_b0(dim_embed: int = 512, remat: bool = False):
+    """EfficientNet-B0 + CNN_2 + fused CLIP — the reference's best model.
+    ``remat`` rematerializes MBConv blocks (jax.checkpoint) to trade idle
+    MXU FLOPs for the dominant HBM traffic (docs/PERF.md roofline)."""
     import jax.numpy as jnp
     from .multi import MultiModel
 
     return MultiModel(
         dim_embed=dim_embed,
         image_encoder_args={"name": "efficientnet_b0", "in_chans": 1,
-                            "metadata": True},
+                            "metadata": True, "remat": remat},
         profile_encoder_args={"kind": "cnn", "dim_in": 6,
                               "blocks": (2, 2, 2, 2), "base_channels": 32},
         coordination_args={"method": "clip", "fused": True},

@@ -141,8 +141,16 @@ class _MBConv(nn.Module):
         wproj = p["project_conv"]["kernel"].reshape(mid, self.out_ch)
         g3, b3 = p["project_bn"]["scale"], p["project_bn"]["bias"]
 
+        # Kernel path only where a pallas_call sees the full local batch
+        # (single-chip TPU / per-chip shard_map trace) — under a multi-chip
+        # GSPMD mesh and on non-TPU backends _unfused_over_params is used
+        # instead (same gating as FusedSelfAttention, ops/kernels.py).
+        # PLANKTON_FUSED_INTERPRET=1 forces the kernel in interpret mode
+        # for the CPU parity tests.
+        from ...ops.kernels import kernel_path_allowed
         use_kernel = (train and self.stride == 1
-                      and not self.is_initializing())
+                      and not self.is_initializing()
+                      and kernel_path_allowed())
         if use_kernel:
             interpret = jax.default_backend() != "tpu"
             y3, m1, v1, m2, v2, m3, v3 = mbconv_core(
@@ -222,7 +230,7 @@ class _MBConv(nn.Module):
     # ---- standard (unfused) path ------------------------------------------
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
         # the fused parameter layout unconditionally declares squeeze-excite;
         # an se_ratio <= 0 model must keep the unfused tree (no SE params)
         # or fused/unfused checkpoints would diverge
@@ -264,6 +272,12 @@ class EfficientNet(nn.Module):
     #: route MBConv blocks through the fused Pallas TPU kernels (same
     #: parameter tree; see _MBConv.fused)
     fused: bool = False
+    #: rematerialize each MBConv block (jax.checkpoint): only block
+    #: boundaries are saved for the backward pass, the 6x-expanded
+    #: intermediates are recomputed instead of round-tripping HBM — the
+    #: B0 train step is HBM-bandwidth-bound (docs/PERF.md), so this trades
+    #: idle-MXU FLOPs for the dominant traffic
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -279,14 +293,19 @@ class EfficientNet(nn.Module):
                          name="stem_bn")(x)
         x = nn.silu(x)
 
+        # static_argnums=(2,) marks `train` ((self, x, train) counting) so
+        # the checkpoint trace sees a concrete bool
+        block_cls = nn.remat(_MBConv, static_argnums=(2,)) if self.remat \
+            else _MBConv
+
         in_ch = 32
         for si, (expand, ch, repeats, stride, kernel) in enumerate(_B0_STAGES):
             repeats = _round_repeats(repeats, self.depth_mult)
             for b in range(repeats):
                 s = stride if b == 0 else 1
-                x = _MBConv(in_ch, ch, expand, s, kernel, self.se_ratio,
-                            self.dtype, fused=self.fused,
-                            name=f"stage{si + 1}_block{b}")(x, train=train)
+                x = block_cls(in_ch, ch, expand, s, kernel, self.se_ratio,
+                              self.dtype, fused=self.fused,
+                              name=f"stage{si + 1}_block{b}")(x, train)
                 in_ch = ch
 
         x = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype,

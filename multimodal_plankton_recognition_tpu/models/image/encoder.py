@@ -37,6 +37,13 @@ class ImageEncoder(nn.Module):
     fused_attention: bool = False
     #: route ViT MLPs through the fused Pallas FFN kernel (models/ffn.py)
     fused_ffn: bool = False
+    #: rematerialize EfficientNet MBConv blocks (jax.checkpoint) — trades
+    #: idle-MXU FLOPs for the HBM traffic that bounds the B0 step
+    remat: bool = False
+    #: extra kwargs forwarded verbatim to the backbone constructor (e.g.
+    #: ``{"img_size": 32, "depth": 2}`` for the scaled-down conformance
+    #: models in __graft_entry__.dryrun_multichip); not a card key
+    backbone_kwargs: Optional[dict] = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self) -> None:
@@ -46,6 +53,9 @@ class ImageEncoder(nn.Module):
             extra["fused_attention"] = True
         if self.fused_ffn and self.name.startswith("vit"):
             extra["fused_ffn"] = True
+        if self.remat and "efficientnet" in self.name:
+            extra["remat"] = True
+        extra.update(self.backbone_kwargs or {})
         self.backbone = create_backbone(self.name, in_chans=self.in_chans,
                                         dtype=self.dtype, **extra)
         self.drop = nn.Dropout(self.dropout)
@@ -53,7 +63,8 @@ class ImageEncoder(nn.Module):
     @property
     def dim_out(self) -> int:
         return create_backbone(self.name, in_chans=self.in_chans,
-                               dtype=self.dtype).num_features \
+                               dtype=self.dtype,
+                               **(self.backbone_kwargs or {})).num_features \
             + 2 * int(self.metadata)
 
     def __call__(self, image: jnp.ndarray,

@@ -114,13 +114,21 @@ class ViT(nn.Module):
         return x[:, 0]  # CLS pooling
 
 
+def _vit(kw, **defaults) -> ViT:
+    # setdefault (not fixed kwargs) so backbone_kwargs overrides — e.g. the
+    # scaled-down conformance models in __graft_entry__ — don't collide
+    for k, v in defaults.items():
+        kw.setdefault(k, v)
+    return ViT(**kw)
+
+
 def vit_tiny_patch16_224(**kw) -> ViT:
-    return ViT(patch_size=16, embed_dim=192, depth=12, num_heads=3, **kw)
+    return _vit(kw, patch_size=16, embed_dim=192, depth=12, num_heads=3)
 
 
 def vit_small_patch16_224(**kw) -> ViT:
-    return ViT(patch_size=16, embed_dim=384, depth=12, num_heads=6, **kw)
+    return _vit(kw, patch_size=16, embed_dim=384, depth=12, num_heads=6)
 
 
 def vit_small_patch32_224(**kw) -> ViT:
-    return ViT(patch_size=32, embed_dim=384, depth=12, num_heads=6, **kw)
+    return _vit(kw, patch_size=32, embed_dim=384, depth=12, num_heads=6)

@@ -53,7 +53,7 @@ def _flagship(dim_embed=512):
     return flagship_b0(dim_embed)
 
 
-def probe_train_step(bs, img_dtype=None, label=""):
+def probe_train_step(bs, img_dtype=None, label="", remat=False):
     """Full train step (fwd+bwd+SGD), bucket_size fixed at 16."""
     import jax
     import jax.numpy as jnp
@@ -61,9 +61,14 @@ def probe_train_step(bs, img_dtype=None, label=""):
     from multimodal_plankton_recognition_tpu.train import (
         make_optimizer, create_train_state, make_multi_steps,
     )
+    from multimodal_plankton_recognition_tpu.models.flagships import (
+        flagship_b0,
+    )
 
     buckets = bs // 16
-    model = _flagship()
+    if remat:
+        label = label + " remat"
+    model = flagship_b0(remat=remat)
     batch = _batch(bs, img_dtype=img_dtype)
     tx = make_optimizer(OptimConfig(lr=5e-3, momentum=0.9,
                                     weight_decay=1e-3, nesterov=True))
@@ -185,7 +190,7 @@ def _bwd_probe(name, apply_fn, params, x):
 
 
 def probe_image_encoder(bs, variant=None, fused=False,
-                        fused_attention=False):
+                        fused_attention=False, remat=False):
     import jax
     import jax.numpy as jnp
     from multimodal_plankton_recognition_tpu.models.image.registry import (
@@ -195,6 +200,8 @@ def probe_image_encoder(bs, variant=None, fused=False,
     extra = {"fused": True} if fused else {}
     if fused_attention:
         extra["fused_attention"] = True
+    if remat:
+        extra["remat"] = True
     enc = create_backbone(name, in_chans=1, dtype=jnp.bfloat16, **extra)
     x = jnp.asarray(np.random.RandomState(0).randn(bs, 224, 224, 1),
                     jnp.float32)
@@ -209,7 +216,8 @@ def probe_image_encoder(bs, variant=None, fused=False,
     if "batch_stats" not in variables:
         def apply_fn(params, x):  # noqa: F811 (ViT: no BN)
             return enc.apply({"params": params}, x, train=False)
-    _bwd_probe(f"{name} fwd+bwd", apply_fn, variables["params"], x)
+    tag = " remat" if remat else ""
+    _bwd_probe(f"{name}{tag} fwd+bwd", apply_fn, variables["params"], x)
 
 
 def probe_profile_encoder(bs):
@@ -234,10 +242,12 @@ def probe_profile_encoder(bs):
 
 PROBES = {
     "train256": partial(probe_train_step, 256),
+    "train256_remat": partial(probe_train_step, 256, remat=True),
     "train512": partial(probe_train_step, 512),
     "train1024": partial(probe_train_step, 1024),
     "b0_256": partial(probe_image_encoder, 256),
     "b0_fused_256": partial(probe_image_encoder, 256, fused=True),
+    "b0_remat_256": partial(probe_image_encoder, 256, remat=True),
     "b0_1024": partial(probe_image_encoder, 1024),
     "vit_256": partial(probe_image_encoder, 256, "vit_tiny_patch16_224"),
     "vit_s_256": partial(probe_image_encoder, 256, "vit_small_patch16_224"),

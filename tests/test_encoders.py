@@ -202,3 +202,45 @@ def test_profile_cnn_groupnorm():
     assert "batch_stats" not in variables
     out = enc.apply(variables, profile, profile_len=plen)
     assert out.shape == (2, 129)
+
+
+def test_efficientnet_remat_parity():
+    """remat=True (per-block jax.checkpoint) declares the identical param
+    tree, the identical eval forward, and EXACTLY equal f32 train-mode
+    gradients on a single block (full-model f32 grads verified exact during
+    the round-3 perf study, docs/PERF.md; measured 22% slower on the v5e,
+    so the flag is a memory lever, default off)."""
+    import flax.linen as nn
+    from multimodal_plankton_recognition_tpu.models.image.efficientnet import (
+        EfficientNet, _MBConv,
+    )
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 24, 24, 1),
+                    jnp.float32)
+    base = EfficientNet(in_chans=1)
+    rem = EfficientNet(in_chans=1, remat=True)
+    v = base.init(jax.random.key(0), x, train=False)
+    vr = rem.init(jax.random.key(0), x, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(vr)
+    o1 = base.apply(v, x, train=False)
+    o2 = rem.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    xb = jnp.asarray(np.random.RandomState(1).randn(4, 12, 12, 16),
+                     jnp.float32)
+    blk = _MBConv(16, 16, 6, 1, 3, 0.25, jnp.float32)
+    rblk = nn.remat(_MBConv, static_argnums=(2,))(
+        16, 16, 6, 1, 3, 0.25, jnp.float32)
+    bv = blk.init(jax.random.key(0), xb, train=False)
+
+    def loss(m, params):
+        out, _ = m.apply({"params": params,
+                          "batch_stats": bv["batch_stats"]},
+                         xb, True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g1 = jax.grad(lambda p: loss(blk, p))(bv["params"])
+    g2 = jax.grad(lambda p: loss(rblk, p))(bv["params"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
