@@ -45,9 +45,17 @@ def _row_xent(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 def global_clip_loss(image_emb: jnp.ndarray, profile_emb: jnp.ndarray,
                      logit_scale: jnp.ndarray,
-                     axis_name: str = "data") -> jnp.ndarray:
+                     axis_name: str = "data",
+                     reduce: bool = True) -> jnp.ndarray:
     """Symmetric InfoNCE over the global batch. Call inside shard_map with
-    embeddings sharded (B_local, D) along ``axis_name``."""
+    embeddings sharded (B_local, D) along ``axis_name``.
+
+    ``reduce=False`` returns the UNREDUCED per-chip loss ``l_i`` (the local
+    rows' contribution, global = pmean of these) for the shard_map train
+    step, which differentiates ``l_i`` locally and pmeans the grads — the
+    all_gather transpose routes the cross-chip cotangents, so
+    ``pmean_i(grad l_i) == grad(pmean_i l_i)`` (tested on the 8-device
+    mesh, tests/test_parallel.py)."""
     i = l2_normalize(image_emb)
     p = l2_normalize(profile_emb)
     b_local = i.shape[0]
@@ -59,14 +67,16 @@ def global_clip_loss(image_emb: jnp.ndarray, profile_emb: jnp.ndarray,
     loss_i2p = _row_xent(i @ p_all.T * scale, labels)
     loss_p2i = _row_xent(p @ i_all.T * scale, labels)
     local = (loss_i2p + loss_p2i) / 2
-    return jax.lax.pmean(local, axis_name)
+    return jax.lax.pmean(local, axis_name) if reduce else local
 
 
 def global_siglip_loss(image_emb: jnp.ndarray, profile_emb: jnp.ndarray,
                        logit_scale: jnp.ndarray, logit_bias: jnp.ndarray,
-                       axis_name: str = "data") -> jnp.ndarray:
+                       axis_name: str = "data",
+                       reduce: bool = True) -> jnp.ndarray:
     """Pairwise sigmoid loss over the global batch, normalized per the
-    reference convention (sum over the full matrix / global batch size)."""
+    reference convention (sum over the full matrix / global batch size).
+    ``reduce=False``: see :func:`global_clip_loss`."""
     i = l2_normalize(image_emb)
     p = l2_normalize(profile_emb)
     b_local = i.shape[0]
@@ -78,7 +88,10 @@ def global_siglip_loss(image_emb: jnp.ndarray, profile_emb: jnp.ndarray,
     rows = offset + jnp.arange(b_local)[:, None]
     labels = jnp.where(cols == rows, 1.0, -1.0).astype(logits.dtype)
     local = -jax.nn.log_sigmoid(labels * logits).sum() / b_global
-    return jax.lax.psum(local, axis_name)
+    if reduce:
+        return jax.lax.psum(local, axis_name)
+    # pmean of (local * n_dev) == psum of local == the reduced value
+    return local * (b_global // b_local)
 
 
 def make_global_loss_shard_map(loss_fn, mesh, axis_name: str = "data",

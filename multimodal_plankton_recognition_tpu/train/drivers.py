@@ -255,8 +255,30 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
     # global negatives: the whole (sharded) batch is one contrastive group
     negatives = (card.coordination_args or {}).get("negatives", "bucketed")
     buckets = 1 if negatives == "global" else card.buckets
-    train_step, eval_step = make_multi_steps(model, tx, buckets,
-                                             augment_fn=augment_fn)
+    n_mesh = mesh.shape["data"] * mesh.shape["model"]
+    if card.parallel == "shard_map" and n_mesh > 1:
+        # explicit per-chip step: keeps the Pallas kernel paths enabled on
+        # multi-chip meshes (train/shard_step.py); BN-free models only
+        if state.batch_stats:
+            raise ValueError(
+                "parallel: shard_map requires a BatchNorm-free model "
+                "(per-chip BN statistics would diverge from GSPMD's "
+                "sync-BN); use the default parallel: gspmd")
+        from .shard_step import make_multi_steps_shard_map
+        try:
+            train_step, eval_step = make_multi_steps_shard_map(
+                model, tx, mesh, buckets=card.buckets, negatives=negatives,
+                augment_fn=augment_fn)
+        except ValueError as e:
+            # e.g. buckets not divisible by the data axis — keep training
+            # (GSPMD shards the bucketed loss correctly, kernels fall back)
+            print(f"parallel: shard_map unavailable ({e}); "
+                  f"falling back to GSPMD")
+            train_step, eval_step = make_multi_steps(model, tx, buckets,
+                                                     augment_fn=augment_fn)
+    else:
+        train_step, eval_step = make_multi_steps(model, tx, buckets,
+                                                 augment_fn=augment_fn)
 
     name = _run_name(Path(modelcard), data_path)
     writer = MetricsWriter(logdir, name=name)

@@ -57,6 +57,42 @@ def test_global_siglip_matches_unsharded(mesh):
     np.testing.assert_allclose(sharded, expected, rtol=1e-5)
 
 
+def test_global_clip_gradients_match_unsharded(mesh):
+    """Backward through the shard_map loss: embedding AND logit_scale
+    cotangents must equal the unsharded gradients — a wrong transpose
+    through all_gather/pmean would pass the forward-value tests and
+    silently corrupt multi-chip training (round-2 verdict item)."""
+    i, p = _embs(seed=3)
+    scale = jnp.asarray(0.8)
+    sharded_fn = make_global_loss_shard_map(global_clip_loss, mesh,
+                                            n_scalars=1)
+    g_sh = jax.grad(lambda a, b, s: sharded_fn(a, b, s),
+                    argnums=(0, 1, 2))(i, p, scale)
+    g_ref = jax.grad(
+        lambda a, b, s: losses.clip_loss(a, b, s, buckets=1),
+        argnums=(0, 1, 2))(i, p, scale)
+    for name, a, b in zip(("d_image", "d_profile", "d_scale"), g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_global_siglip_gradients_match_unsharded(mesh):
+    """Same for SigLIP: embeddings plus BOTH scalar params (scale, bias)."""
+    i, p = _embs(seed=4)
+    scale, bias = jnp.asarray(0.5), jnp.asarray(-10.0)
+    sharded_fn = make_global_loss_shard_map(global_siglip_loss, mesh,
+                                            n_scalars=2)
+    g_sh = jax.grad(lambda a, b, s, t: sharded_fn(a, b, s, t),
+                    argnums=(0, 1, 2, 3))(i, p, scale, bias)
+    g_ref = jax.grad(
+        lambda a, b, s, t: losses.siglip_loss(a, b, s, t, buckets=1),
+        argnums=(0, 1, 2, 3))(i, p, scale, bias)
+    for name, a, b in zip(("d_image", "d_profile", "d_scale", "d_bias"),
+                          g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
 def test_bucketed_loss_under_gspmd(mesh):
     """The plain bucketed loss jitted over a sharded batch must equal the
     single-device value (GSPMD inserts collectives, result unchanged)."""
