@@ -1,4 +1,4 @@
-"""Quantitative synthetic-parity gate (VERDICT r1 #4).
+"""Quantitative synthetic-parity gate (VERDICT r1 #4, r2 #4).
 
 Freezes a synthetic corpus + training protocol and asserts the resulting
 retrieval accuracies stay inside committed bands
@@ -6,11 +6,21 @@ retrieval accuracies stay inside committed bands
 loss formulas, optimizer semantics, transform pipeline, encode path — fails
 the suite instead of passing silently.
 
+Three protocols cover the model families that define BASELINE.md parity
+(reference: experiments.ipynb cell 12 model rows):
+
+* ``resnet_cnn_clip`` — the original round-1 gate (ResNet18 + CNN + CLIP);
+* ``b0_cnn_clip`` — the EffNet-B0 + CNN + CLIP flagship family;
+* ``vit_transformer_siglip`` — the ViT + ProfileTransformer + SigLIP family
+  with ``fused_attention: true`` as the flagship cards ship it (on the CPU
+  test platform this exercises the FusedSelfAttention module's packed
+  projections + einsum path; kernel-vs-fallback equality has its own tests).
+
 The bands encode the reference's qualitative cross-modal pattern at
 synthetic scale: same-modal retrieval high, cross-modal transfer low
 (reference: experiments.ipynb cell 22 saved outputs; BASELINE.md cross-modal
-matrix). Calibrated with scripts/parity_gate.py (3 protocol seeds; bands are
-min/max over seeds widened by 2x the observed spread).
+matrix). Calibrated with scripts/parity_gate.py over 5 data seeds per
+protocol (bands widened by the observed spread).
 """
 
 import json
@@ -22,24 +32,72 @@ import yaml
 
 GOLDEN = Path(__file__).parent / "golden" / "parity_bands.json"
 
-#: everything about the protocol is pinned; changing any of this requires
+_BASE_OPTIM = {"lr": 1e-2, "momentum": 0.9, "weight_decay": 1e-4,
+               "nesterov": True}
+
+#: everything about each protocol is pinned; changing any of this requires
 #: re-calibrating the golden bands (scripts/parity_gate.py --calibrate)
-PROTOCOL_CARD = {
-    "bs": 8,
-    "dim_embedding": 32,
-    "target_size": 32,
-    "buckets": 2,
-    "num_workers": 2,
-    "patience": 99,
-    "save_top_k": 1,
-    "seed": 0,
-    "image_encoder_args": {"name": "resnet18", "metadata": True},
-    "profile_encoder_args": {"kind": "cnn", "dim_in": 6,
-                             "blocks": [1, 1, 1, 1], "base_channels": 8},
-    "coordination_args": {"method": "clip"},
-    "optim_args": {"lr": 1e-2, "momentum": 0.9, "weight_decay": 1e-4,
-                   "nesterov": True},
-    "trainer_args": {"precision": "32", "min_epochs": 15, "max_epochs": 15},
+PROTOCOL_CARDS = {
+    "resnet_cnn_clip": {
+        "bs": 8,
+        "dim_embedding": 32,
+        "target_size": 32,
+        "buckets": 2,
+        "num_workers": 2,
+        "patience": 99,
+        "save_top_k": 1,
+        "seed": 0,
+        "image_encoder_args": {"name": "resnet18", "metadata": True},
+        "profile_encoder_args": {"kind": "cnn", "dim_in": 6,
+                                 "blocks": [1, 1, 1, 1], "base_channels": 8},
+        "coordination_args": {"method": "clip"},
+        "optim_args": _BASE_OPTIM,
+        "trainer_args": {"precision": "32", "min_epochs": 15,
+                         "max_epochs": 15},
+    },
+    "b0_cnn_clip": {
+        "bs": 8,
+        "dim_embedding": 32,
+        "target_size": 32,
+        "buckets": 2,
+        "num_workers": 2,
+        "patience": 99,
+        "save_top_k": 1,
+        "seed": 0,
+        "image_encoder_args": {"name": "efficientnet_b0", "metadata": True},
+        "profile_encoder_args": {"kind": "cnn", "dim_in": 6,
+                                 "blocks": [1, 1, 1, 1], "base_channels": 8},
+        "coordination_args": {"method": "clip"},
+        "optim_args": _BASE_OPTIM,
+        "trainer_args": {"precision": "32", "min_epochs": 10,
+                         "max_epochs": 10},
+    },
+    "vit_transformer_siglip": {
+        "bs": 8,
+        "dim_embedding": 32,
+        "target_size": 32,
+        "buckets": 2,
+        "num_workers": 2,
+        "patience": 99,
+        "save_top_k": 1,
+        "seed": 0,
+        # scaled-down ViT-T: same module path, 32-px position table
+        "image_encoder_args": {"name": "vit_tiny_patch16_224",
+                               "metadata": True, "fused_attention": True,
+                               "backbone_kwargs": {"img_size": 32,
+                                                   "depth": 2,
+                                                   "embed_dim": 32,
+                                                   "num_heads": 4}},
+        "profile_encoder_args": {"kind": "transformer", "dim_in": 6,
+                                 "dim_hidden": 32, "num_head": 4,
+                                 "num_layers": 2, "dim_feedforward": 64,
+                                 "target_size": 32,
+                                 "fused_attention": True},
+        "coordination_args": {"method": "siglip"},
+        "optim_args": _BASE_OPTIM,
+        "trainer_args": {"precision": "32", "min_epochs": 15,
+                         "max_epochs": 15},
+    },
 }
 DATA_KW = dict(n_classes=5, n_per_class=24, seed=7)
 GALLERY_N = 8
@@ -48,7 +106,8 @@ REPEATS = 3
 SETUPS = ("I - I", "P - P", "I - P", "I+P - P")
 
 
-def run_parity_protocol(workdir: Path, data_seed: int = 7) -> dict:
+def run_parity_protocol(workdir: Path, protocol: str = "resnet_cnn_clip",
+                        data_seed: int = 7) -> dict:
     """Train -> encode -> cross-folds retrieval; returns mean accuracy per
     setup. Deterministic given ``data_seed`` (model/train seed is pinned)."""
     from multimodal_plankton_recognition_tpu.data.synthetic import (
@@ -63,7 +122,7 @@ def run_parity_protocol(workdir: Path, data_seed: int = 7) -> dict:
     kw = dict(DATA_KW, seed=data_seed)
     split = make_synthetic_dataset(workdir / "data", **kw)
     card_path = workdir / "card.yaml"
-    card_path.write_text(yaml.safe_dump(PROTOCOL_CARD))
+    card_path.write_text(yaml.safe_dump(PROTOCOL_CARDS[protocol]))
     result = train_multi(split, card_path, logdir=workdir / "logs")
 
     entry = encode_split(f"{result['logdir']}/checkpoints", split,
@@ -83,14 +142,20 @@ def run_parity_protocol(workdir: Path, data_seed: int = 7) -> dict:
 
 
 @pytest.mark.slow
-def test_parity_bands(tmp_path):
-    bands = json.loads(GOLDEN.read_text())
-    acc = run_parity_protocol(tmp_path)
+@pytest.mark.parametrize("protocol", sorted(PROTOCOL_CARDS))
+def test_parity_bands(tmp_path, protocol):
+    golden = json.loads(GOLDEN.read_text())
+    if protocol not in golden.get("protocols", {}):
+        pytest.skip(f"no calibrated bands for {protocol} yet "
+                    f"(run scripts/parity_gate.py --calibrate)")
+    bands = golden["protocols"][protocol]["bands"]
+    acc = run_parity_protocol(tmp_path, protocol)
     errors = []
-    for key, (lo, hi) in bands["bands"].items():
+    for key, (lo, hi) in bands.items():
         v = acc[key]
         if not (lo <= v <= hi):
             errors.append(f"{key}: {v:.4f} outside [{lo}, {hi}]")
     assert not errors, (
-        "parity gate violated (training-math regression?):\n  "
+        f"parity gate violated for {protocol} "
+        "(training-math regression?):\n  "
         + "\n  ".join(errors) + f"\n  full result: {acc}")
