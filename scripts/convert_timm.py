@@ -10,8 +10,17 @@ Usage:
     python scripts/convert_timm.py -a efficientnet_b0 \
         -i efficientnet_b0.safetensors -o b0_imagenet.npz [--in-chans 1]
 
+    python scripts/convert_timm.py --selftest [-a ARCH]
+
 Input: a ``.safetensors`` file (e.g. downloaded from the timm hub) or a
 ``torch.save`` checkpoint holding the backbone state_dict.
+
+``--selftest`` (run it wherever timm IS installed — this environment has
+none, so the offline direction pins live in tests/test_convert_timm.py):
+for each architecture, creates the timm model, converts its state_dict,
+loads it into the from-scratch Flax backbone, and asserts full forward
+parity on a shared random input — the end-to-end proof that the converted
+layout is numerically right, not just shape-complete.
 """
 
 import argparse
@@ -20,25 +29,90 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import numpy as np
+
 from multimodal_plankton_recognition_tpu.models.convert_timm import (
-    ARCH_SPECS, convert_to_npz,
+    ARCH_SPECS, convert_state_dict, convert_to_npz,
 )
+
+
+def _unflatten(flat):
+    tree = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        d = tree
+        for part in parts[:-1]:
+            d = d.setdefault(part, {})
+        d[parts[-1]] = v
+    return tree
+
+
+def selftest(archs) -> int:
+    try:
+        import timm
+        import torch
+    except ImportError as e:
+        print(f"selftest: {e} — run this where timm is installed "
+              f"(offline direction pins: tests/test_convert_timm.py)")
+        return 2
+    import jax
+    from multimodal_plankton_recognition_tpu.models.image.registry import (
+        create_backbone,
+    )
+
+    failures = 0
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    for arch in archs:
+        with torch.no_grad():
+            m = timm.create_model(arch, pretrained=False, num_classes=0,
+                                  in_chans=3).eval()
+            ref = m(torch.from_numpy(
+                x.transpose(0, 3, 1, 2))).numpy()
+        sd = {k: v.numpy() for k, v in m.state_dict().items()}
+        params, stats, missing = convert_state_dict(arch, sd, in_chans=3)
+        if missing:
+            print(f"FAIL {arch}: {len(missing)} unmapped keys "
+                  f"{missing[:4]}")
+            failures += 1
+            continue
+        enc = create_backbone(arch, in_chans=3)
+        variables = {"params": _unflatten(params)}
+        if stats:
+            variables["batch_stats"] = _unflatten(stats)
+        out = np.asarray(jax.jit(
+            lambda v, x: enc.apply(v, x, train=False))(variables, x))
+        err = float(np.max(np.abs(out - ref)))
+        scale = float(np.max(np.abs(ref))) or 1.0
+        ok = err / scale < 5e-3
+        print(f"{'PASS' if ok else 'FAIL'} {arch}: max|Δ| {err:.3e} "
+              f"(rel {err / scale:.2e}) over {out.shape}")
+        failures += 0 if ok else 1
+    return 1 if failures else 0
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("-a", "--arch", required=True, choices=sorted(ARCH_SPECS),
+    p.add_argument("-a", "--arch", choices=sorted(ARCH_SPECS),
                    help="Backbone architecture (timm model name).")
-    p.add_argument("-i", "--input", required=True,
+    p.add_argument("-i", "--input",
                    help="Path to .safetensors or torch .pth/.bin weights.")
-    p.add_argument("-o", "--output", required=True, help="Output .npz path.")
+    p.add_argument("-o", "--output", help="Output .npz path.")
     p.add_argument("--in-chans", type=int, default=1,
                    help="Model input channels (stem kernels adapted the "
                         "timm way; default 1 = grayscale).")
     p.add_argument("--prefix", default="image_encoder/backbone",
                    help="Flax path prefix of the backbone inside the model "
                         "(default matches MultiModel and ImageModel).")
+    p.add_argument("--selftest", action="store_true",
+                   help="Forward-parity check of every arch spec against "
+                        "timm itself (requires timm; see module docstring).")
     args = p.parse_args()
+    if args.selftest:
+        sys.exit(selftest([args.arch] if args.arch
+                          else sorted(ARCH_SPECS)))
+    if not (args.arch and args.input and args.output):
+        p.error("-a, -i and -o are required unless --selftest")
     counts = convert_to_npz(args.arch, args.input, args.output,
                             in_chans=args.in_chans, prefix=args.prefix)
     print(f"wrote {args.output}: {counts['params']} params + "
