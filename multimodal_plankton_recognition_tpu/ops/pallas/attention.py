@@ -29,9 +29,11 @@ ops/pallas/contrastive.py) under ``jax.custom_vjp``.
 
 Semantics match ``flax.linen.MultiHeadDotProductAttention`` (q scaled by
 1/sqrt(D), pre-softmax additive key bias for padding masks, attention-prob
-dropout with 1/(1-p) scaling); softmax runs in f32 (flax runs it in the
-module dtype — the f32 here is a strict precision improvement, covered by
-the parity tests' tolerances). Dropout uses the kernel PRNG, so masks
+dropout with 1/(1-p) scaling); matmuls run in the input dtype with f32
+accumulation (full MXU rate for the bf16 cards the module gates the kernel
+to — an f32 upcast would quarter it) and softmax runs in f32 (flax runs it
+in the module dtype — a strict precision improvement, covered by the parity
+tests' tolerances). Dropout uses the kernel PRNG, so masks
 differ from flax's host-keyed ones — dropout randomness carries no
 reproducibility contract (the reference uses torch's RNG anyway).
 """
@@ -67,140 +69,162 @@ def _uniform(shape):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
                 *, heads: int, dropout_p: float, train: bool,
-                narrow: bool):
-    b = pl.program_id(0)
-    q = q_ref[0].astype(jnp.float32)                     # (L, E)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]                                         # bf16 for the MXU
-    l, e = q.shape
-    d = e // heads
-    scale = 1.0 / (d ** 0.5)
-    bias = bias_ref[0]                                   # (1, L) additive
-    use_drop = train and dropout_p > 0.0
+                narrow: bool, block_b: int):
+    # Each grid step handles ``block_b`` samples (statically unrolled): one
+    # sample is only ~1 µs of compute, so per-program overhead dominates a
+    # (B,)-grid — batching samples amortizes it and gives the scheduler
+    # independent head/sample work to overlap MXU matmuls with VPU softmax.
+    base = pl.program_id(0) * block_b
+    for i in range(block_b):
+        # q/k/v stay in their input dtype: with bf16 inputs every dot below
+        # is a full-rate MXU bf16 multiply with f32 accumulation
+        # (preferred_element_type) — an f32 upcast would quarter the matmul
+        # rate for no precision gain. Softmax runs in f32.
+        q = q_ref[i]                                     # (L, E)
+        k = k_ref[i]
+        v = v_ref[i]
+        l, e = q.shape
+        d = e // heads
+        scale = 1.0 / (d ** 0.5)
+        bias = bias_ref[i]                               # (1, L) additive
+        use_drop = train and dropout_p > 0.0
 
-    acc = None if narrow else jnp.zeros((l, e), jnp.float32)
-    parts = []
-    for h in range(heads):
+        acc = None if narrow else jnp.zeros((l, e), jnp.float32)
+        parts = []
+        for h in range(heads):
+            if narrow:
+                # static lane slices: matmuls carry exactly the useful FLOPs
+                qh, kh = q[:, h * d:(h + 1) * d], k[:, h * d:(h + 1) * d]
+                vh = v[:, h * d:(h + 1) * d]
+                s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            else:
+                mh = _head_mask(h, heads, e).astype(q.dtype)
+                vh = v * mh.astype(v.dtype)
+                s = jax.lax.dot_general(
+                    q * mh, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (L, L) head-h
+            z = s * scale + bias
+            m = jnp.max(z, axis=1, keepdims=True)
+            p = jnp.exp(z - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            if use_drop:
+                pltpu.prng_seed(seed_ref[0, 0] + (base + i) * heads + h)
+                keep = (_uniform((l, l)) >= dropout_p).astype(jnp.float32)
+                p = p * keep * (1.0 / (1.0 - dropout_p))
+            oh = jax.lax.dot_general(
+                p.astype(v.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if narrow:
+                parts.append(oh)
+            else:
+                acc = acc + oh
         if narrow:
-            # static lane slices: matmuls carry exactly the useful FLOPs
-            qh, kh = q[:, h * d:(h + 1) * d], k[:, h * d:(h + 1) * d]
-            vh = v[:, h * d:(h + 1) * d]
-            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        else:
-            mh = _head_mask(h, heads, e)
-            vh = v * _head_mask(h, heads, e).astype(v.dtype)
-            s = jax.lax.dot_general(
-                q * mh, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (L, L) head-h
-        z = s * scale + bias
-        m = jnp.max(z, axis=1, keepdims=True)
-        p = jnp.exp(z - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        if use_drop:
-            pltpu.prng_seed(seed_ref[0, 0] + b * heads + h)
-            keep = (_uniform((l, l)) >= dropout_p).astype(jnp.float32)
-            p = p * keep * (1.0 / (1.0 - dropout_p))
-        oh = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if narrow:
-            parts.append(oh)
-        else:
-            acc = acc + oh
-    if narrow:
-        acc = jnp.concatenate(parts, axis=1)
-    o_ref[0] = acc.astype(o_ref.dtype)
+            acc = jnp.concatenate(parts, axis=1)
+        o_ref[i] = acc.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, db_ref,
                 *, heads: int, dropout_p: float, train: bool,
-                narrow: bool):
-    b = pl.program_id(0)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
-    do = do_ref[0]                                       # (L, E) bf16
-    l, e = q.shape
-    d = e // heads
-    scale = 1.0 / (d ** 0.5)
-    bias = bias_ref[0]                                   # (1, L)
-    use_drop = train and dropout_p > 0.0
+                narrow: bool, block_b: int):
+    base = pl.program_id(0) * block_b
+    for i in range(block_b):
+        # input dtype throughout the dots (see _fwd_kernel): bf16 inputs
+        # keep every matmul at full MXU rate; f32 only in softmax/dz land
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        do = do_ref[i]                                   # (L, E) bf16
+        l, e = q.shape
+        d = e // heads
+        scale = 1.0 / (d ** 0.5)
+        bias = bias_ref[i]                               # (1, L)
+        use_drop = train and dropout_p > 0.0
 
-    if not narrow:
-        dq = jnp.zeros((l, e), jnp.float32)
-        dk = jnp.zeros((l, e), jnp.float32)
-        dv = jnp.zeros((l, e), jnp.float32)
-    # bias enters every head's pre-softmax scores: d bias[key] =
-    # sum over heads and query rows of dz (2-D axis-0 keepdims sum — the
-    # Mosaic-safe reduction pattern, see ops/pallas/mbconv.py lessons)
-    db = jnp.zeros((1, l), jnp.float32)
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for h in range(heads):
+        if not narrow:
+            dq = jnp.zeros((l, e), jnp.float32)
+            dk = jnp.zeros((l, e), jnp.float32)
+            dv = jnp.zeros((l, e), jnp.float32)
+        # bias enters every head's pre-softmax scores: d bias[key] =
+        # sum over heads and query rows of dz (2-D axis-0 keepdims sum —
+        # the Mosaic-safe reduction pattern, see ops/pallas/mbconv.py)
+        db = jnp.zeros((1, l), jnp.float32)
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(heads):
+            if narrow:
+                qm = q[:, h * d:(h + 1) * d]
+                kh = k[:, h * d:(h + 1) * d]
+                vh = v[:, h * d:(h + 1) * d]
+                do_m = do[:, h * d:(h + 1) * d]
+            else:
+                mh = _head_mask(h, heads, e).astype(q.dtype)
+                qm = q * mh
+                kh = k * mh.astype(k.dtype)
+                vh = v
+                do_m = do * mh.astype(do.dtype)
+            s = jax.lax.dot_general(qm, kh if narrow else k,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            z = s * scale + bias
+            m = jnp.max(z, axis=1, keepdims=True)
+            p = jnp.exp(z - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            # dPd = (dO of head h) @ v^T — masked lanes give 0 in mask mode
+            dpd = jax.lax.dot_general(do_m, vh, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            if use_drop:
+                pltpu.prng_seed(seed_ref[0, 0] + (base + i) * heads + h)
+                keep = (_uniform((l, l)) >= dropout_p).astype(jnp.float32)
+                pd = p * keep * (1.0 / (1.0 - dropout_p))
+                dp = dpd * keep * (1.0 / (1.0 - dropout_p))
+            else:
+                pd = p
+                dp = dpd
+            dz = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            db = db + jnp.sum(dz, axis=0, keepdims=True)
+            ds = (dz * scale).astype(q.dtype)
+            dq_h = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            dk_h = jax.lax.dot_general(ds, qm, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            dv_h = jax.lax.dot_general(
+                pd.astype(do_m.dtype), do_m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if narrow:
+                dq_parts.append(dq_h)
+                dk_parts.append(dk_h)
+                dv_parts.append(dv_h)
+            else:
+                dq = dq + dq_h
+                dk = dk + dk_h
+                dv = dv + dv_h
         if narrow:
-            qm = q[:, h * d:(h + 1) * d]
-            kh = k[:, h * d:(h + 1) * d]
-            vh = v[:, h * d:(h + 1) * d]
-            do_m = do[:, h * d:(h + 1) * d]
-        else:
-            mh = _head_mask(h, heads, e)
-            qm = q * mh
-            kh = k * mh
-            vh = v
-            do_m = do * mh.astype(do.dtype)
-        s = jax.lax.dot_general(qm, kh if narrow else k,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        z = s * scale + bias
-        m = jnp.max(z, axis=1, keepdims=True)
-        p = jnp.exp(z - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        # dPd = (dO of head h) @ v^T — masked lanes give 0 in mask mode
-        dpd = jax.lax.dot_general(do_m, vh, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        if use_drop:
-            pltpu.prng_seed(seed_ref[0, 0] + b * heads + h)
-            keep = (_uniform((l, l)) >= dropout_p).astype(jnp.float32)
-            pd = p * keep * (1.0 / (1.0 - dropout_p))
-            dp = dpd * keep * (1.0 / (1.0 - dropout_p))
-        else:
-            pd = p
-            dp = dpd
-        dz = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-        db = db + jnp.sum(dz, axis=0, keepdims=True)
-        ds = dz * scale
-        dq_h = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        dk_h = jax.lax.dot_general(ds, qm, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        dv_h = jax.lax.dot_general(
-            pd.astype(jnp.bfloat16), do_m, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if narrow:
-            dq_parts.append(dq_h)
-            dk_parts.append(dk_h)
-            dv_parts.append(dv_h)
-        else:
-            dq = dq + dq_h
-            dk = dk + dk_h
-            dv = dv + dv_h
-    if narrow:
-        dq = jnp.concatenate(dq_parts, axis=1)
-        dk = jnp.concatenate(dk_parts, axis=1)
-        dv = jnp.concatenate(dv_parts, axis=1)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-    db_ref[0] = db
+            dq = jnp.concatenate(dq_parts, axis=1)
+            dk = jnp.concatenate(dk_parts, axis=1)
+            dv = jnp.concatenate(dv_parts, axis=1)
+        dq_ref[i] = dq.astype(dq_ref.dtype)
+        dk_ref[i] = dk.astype(dk_ref.dtype)
+        dv_ref[i] = dv.astype(dv_ref.dtype)
+        db_ref[i] = db
 
 
-def _specs(l, e):
-    emb = pl.BlockSpec((1, l, e), lambda b: (b, 0, 0),
+def _pick_block_b(b: int, limit: int = 4) -> int:
+    """Largest power-of-two divisor of ``b`` up to ``limit`` (VMEM budget:
+    ~10 (block_b, L, E) blocks double-buffered ≈ 1.7·block_b MB at L=225,
+    E=192 — block_b=4 stays well under the ~16 MB VMEM)."""
+    bb = 1
+    while bb * 2 <= limit and b % (bb * 2) == 0:
+        bb *= 2
+    return bb
+
+
+def _specs(l, e, bb):
+    emb = pl.BlockSpec((bb, l, e), lambda b: (b, 0, 0),
                        memory_space=pltpu.VMEM)
     # bias rides as (B, 1, L) so the block's trailing dims (1, L) equal the
     # array's (Mosaic requires tile-divisible or full trailing block dims)
-    bias = pl.BlockSpec((1, 1, l), lambda b: (b, 0, 0),
+    bias = pl.BlockSpec((bb, 1, l), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     seed = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
     return emb, bias, seed
@@ -227,13 +251,14 @@ def mha_core(q, k, v, bias_rows, seed,
 def _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train, interpret,
              narrow=True):
     b, l, e = q.shape
-    emb, bias_spec, seed_spec = _specs(l, e)
+    bb = _pick_block_b(b)
+    emb, bias_spec, seed_spec = _specs(l, e, bb)
     kernel = functools.partial(_fwd_kernel, heads=heads,
                                dropout_p=dropout_p, train=train,
-                               narrow=narrow)
+                               narrow=narrow, block_b=bb)
     o = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[emb, emb, emb, bias_spec, seed_spec],
         out_specs=emb,
         out_shape=jax.ShapeDtypeStruct((b, l, e), q.dtype),
@@ -246,13 +271,14 @@ def _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train, interpret,
 def _mha_bwd(heads, dropout_p, train, interpret, narrow, residuals, g):
     q, k, v, bias_rows, seed = residuals
     b, l, e = q.shape
-    emb, bias_spec, seed_spec = _specs(l, e)
+    bb = _pick_block_b(b)
+    emb, bias_spec, seed_spec = _specs(l, e, bb)
     kernel = functools.partial(_bwd_kernel, heads=heads,
                                dropout_p=dropout_p, train=train,
-                               narrow=narrow)
+                               narrow=narrow, block_b=bb)
     dq, dk, dv, db = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[emb, emb, emb, bias_spec, seed_spec, emb],
         out_specs=(emb, emb, emb, bias_spec),
         out_shape=(
