@@ -212,6 +212,10 @@ class ModelCard:
     mesh: Optional[Dict[str, int]] = None      # e.g. {data: 8, model: 1}
     device_augment: bool = False  # run crop/flip/noise on TPU in the step
     loader: str = "threads"       # 'threads' | 'grain' (multiprocess workers)
+    #: read the packed input cache (scripts/pack_dataset.py) instead of
+    #: decoding JPEG/CSV per epoch — bit-identical batches, ~10x the
+    #: per-core sample rate (data/packed.py)
+    packed_cache: bool = False
     #: multi-chip step mode: 'gspmd' (XLA-inserted collectives) or
     #: 'shard_map' (explicit per-chip step, keeps the Pallas kernels on
     #: multi-chip meshes; BatchNorm-free models only — train/shard_step.py)

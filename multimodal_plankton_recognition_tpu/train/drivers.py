@@ -177,7 +177,15 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
     data_path = Path(dataset)
     ts = card.target_size
 
-    if card.device_augment:
+    if card.packed_cache:
+        # memmap the packed deterministic-prefix cache
+        # (scripts/pack_dataset.py); batches are bit-identical to the CSV
+        # path below, without the per-epoch JPEG/CSV work
+        from ..data.packed import PackedMultiSet
+        train_set = PackedMultiSet(data_path / "train.csv", ts,
+                                   device_augment=card.device_augment)
+        test_set = PackedMultiSet(data_path / "test.csv", ts)
+    elif card.device_augment:
         # host does the deterministic oversize prefix; crop/flip/noise run
         # batched on the TPU inside the train step (ops/augment.py)
         from ..data.transforms import (
@@ -186,13 +194,15 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
         train_set = MultiSet(data_path / "train.csv",
                              ImageTransformOversize(ts),
                              ProfileTransformOversize(ts))
+        test_set = MultiSet(data_path / "test.csv",
+                            ImageTransformTest(ts), ProfileTransformTest(ts))
     else:
         train_set = MultiSet(data_path / "train.csv",
                              ImageTransformTrain(ts),
                              ProfileTransformTrain(ts),
                              PairAugmentation())
-    test_set = MultiSet(data_path / "test.csv",
-                        ImageTransformTest(ts), ProfileTransformTest(ts))
+        test_set = MultiSet(data_path / "test.csv",
+                            ImageTransformTest(ts), ProfileTransformTest(ts))
 
     kind = _profile_kind(card)
     train_len = card.oversize if card.device_augment else ts

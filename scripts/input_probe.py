@@ -118,6 +118,29 @@ def main():
     print(f"-> one core sustains ~{1.0 / per_sample:,.0f} pairs/s; "
           f"W workers ~= W * that (process workers; threads cap at the GIL)")
 
+    # ---- packed cache path (scripts/pack_dataset.py) ----------------------
+    from multimodal_plankton_recognition_tpu.data.packed import (
+        PackedMultiSet, pack_split,
+    )
+    ann = root / "annotations.csv"
+    train_csv = root / "train.csv"
+    if not train_csv.exists() or \
+            train_csv.stat().st_mtime < ann.stat().st_mtime:
+        train_csv.write_text(ann.read_text())
+    t0 = time.perf_counter()
+    pack_split(train_csv, ts)
+    t_pack = (time.perf_counter() - t0) / n
+    packed = PackedMultiSet(train_csv, ts)
+    t_packed = _time_per(lambda i: packed.__getitem__(i, rng), range(n))
+    print(f"\n== packed cache (bit-identical batches, "
+          f"tests/test_packed.py) ==")
+    print(f"one-off pack cost:             {t_pack * 1e3:7.2f} ms/sample")
+    print(f"packed __getitem__:            {t_packed * 1e3:7.2f} ms "
+          f"({t_item / t_packed:.1f}x the csv path)")
+    per_packed = t_packed + t_collate
+    print(f"-> one core sustains ~{1.0 / per_packed:,.0f} pairs/s packed "
+          f"({per_sample / per_packed:.1f}x end-to-end per core)")
+
     print("\n== end-to-end loader pairs/s (THIS host) ==")
     bs = 32
     for label, cls, workers in (("threads", Loader, 1), ("threads", Loader, 4),
