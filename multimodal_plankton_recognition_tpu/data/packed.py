@@ -142,6 +142,7 @@ class PackedMultiSet:
         self.target_size = target_size
         self.oversize = math.ceil(1.05 * target_size)
         self.device_augment = device_augment
+        self._source_name = annotation_path.name
         root = cache_dir(annotation_path, target_size)
         meta_path = root / "meta.json"
         if not meta_path.exists():
@@ -164,6 +165,18 @@ class PackedMultiSet:
         self.lens = np.load(root / "lens.npy")
         self.labels = np.load(root / "labels.npy")
         self.class_names = np.unique(self.labels)
+
+    # GrainLoader pickles the dataset into its worker processes — ship only
+    # the constructor args and re-mmap there (a pickled memmap would
+    # materialize the whole array into the IPC channel)
+    def __getstate__(self):
+        return {"annotation_path": str(self.parent / self._source_name),
+                "target_size": self.target_size,
+                "device_augment": self.device_augment}
+
+    def __setstate__(self, state):
+        self.__init__(state["annotation_path"], state["target_size"],
+                      device_augment=state["device_augment"])
 
     def __len__(self) -> int:
         return len(self.labels)

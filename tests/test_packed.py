@@ -91,6 +91,20 @@ def test_class_names_and_stale_guard(packed_root):
     PackedMultiSet(p, TS)
 
 
+def test_pickle_roundtrip_remmaps(packed_root):
+    """GrainLoader workers unpickle the dataset — the memmaps must be
+    re-opened there, not serialized."""
+    import pickle
+
+    packed = PackedMultiSet(packed_root / "train.csv", TS)
+    blob = pickle.dumps(packed)
+    # the payload must be tiny (paths, not arrays)
+    assert len(blob) < 4096, len(blob)
+    clone = pickle.loads(blob)
+    _pairs(packed.__getitem__(2, np.random.default_rng(3)),
+           clone.__getitem__(2, np.random.default_rng(3)))
+
+
 def test_missing_cache_error_names_the_script(tmp_path):
     root = tmp_path / "d"
     make_synthetic_dataset(root, n_classes=2, n_per_class=3, seed=1,
