@@ -105,6 +105,34 @@ def test_pickle_roundtrip_remmaps(packed_root):
            clone.__getitem__(2, np.random.default_rng(3)))
 
 
+def test_grain_process_workers_over_packed(packed_root):
+    """GrainLoader with REAL process workers over the packed cache yields
+    batches bit-identical to the threaded Loader over the CSV path — the
+    full unpickle→re-mmap→random-suffix chain in a worker process."""
+    from multimodal_plankton_recognition_tpu.data.grain_pipeline import (
+        GrainLoader,
+    )
+    from multimodal_plankton_recognition_tpu.data.pipeline import (
+        Loader, multi_collate_fn,
+    )
+    from multimodal_plankton_recognition_tpu.data import tokenize
+
+    csv_set = MultiSet(packed_root / "train.csv", ImageTransformTrain(TS),
+                       ProfileTransformTrain(TS), PairAugmentation())
+    packed = PackedMultiSet(packed_root / "train.csv", TS)
+    collate = multi_collate_fn(tokenize.get_tokenizer("cnn", TS, pad_to=TS))
+    l_csv = Loader(csv_set, 4, collate, shuffle=True, drop_last=True,
+                   num_workers=1, seed=21)
+    l_packed = GrainLoader(packed, 4, collate, shuffle=True, drop_last=True,
+                           num_workers=2, seed=21)
+    n = 0
+    for b1, b2 in zip(l_csv, l_packed):
+        np.testing.assert_array_equal(b1["image"], b2["image"])
+        np.testing.assert_array_equal(b1["profile"], b2["profile"])
+        n += 1
+    assert n > 0
+
+
 def test_missing_cache_error_names_the_script(tmp_path):
     root = tmp_path / "d"
     make_synthetic_dataset(root, n_classes=2, n_per_class=3, seed=1,
