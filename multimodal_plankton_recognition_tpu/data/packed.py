@@ -34,6 +34,12 @@ Layout (one directory per split):
 All arrays are loaded with ``np.load(mmap_mode="r")`` — the OS page cache
 shares them across worker processes for free (GrainLoader workers inherit
 the mapping, nothing is pickled).
+
+Scope: the cache covers the contrastive-pretraining transform set (the
+training hot path). The supervised-baseline drivers keep the CSV path:
+their ``ImageTransforms`` canonicalization draws random background noise
+per epoch (cover_scale/pad, reference src/data.py:62-70), so there is no
+deterministic image prefix to materialize.
 """
 
 from __future__ import annotations
