@@ -59,6 +59,21 @@ from .transforms import (
 _FILES = ("images", "profiles", "shapes", "lens", "labels")
 
 
+def _payload_fingerprint(table, parent: Path, k: int = 8):
+    """(size, mtime_ns) of up to ``k`` image+profile payload files spread
+    across the table — a cheap stale guard for payloads regenerated without
+    touching the annotation CSV (the CSV's own mtime/rows are checked
+    separately)."""
+    n = len(table)
+    idx = sorted({int(i) for i in np.linspace(0, n - 1, num=min(k, n))})
+    fp = []
+    for i in idx:
+        for col in ("image", "profile"):
+            st = (parent / table[col].iloc[i]).stat()
+            fp.append([int(i), col, st.st_size, st.st_mtime_ns])
+    return fp
+
+
 def cache_dir(annotation_path: Path | str, target_size: int) -> Path:
     p = Path(annotation_path)
     return p.parent / f"packed_t{target_size}" / p.stem
@@ -82,6 +97,10 @@ def pack_split(annotation_path: Path | str, target_size: int,
     table = pd.read_csv(annotation_path)
     parent = annotation_path.parent
     n = len(table)
+    if n == 0:
+        raise ValueError(
+            f"{annotation_path} has no data rows — refusing to build an "
+            f"empty packed cache (PackedMultiSet could not load it)")
     side = math.ceil(1.05 * target_size) if train else target_size
 
     prof_tf = (ProfileTransformOversize(target_size) if train
@@ -127,6 +146,7 @@ def pack_split(annotation_path: Path | str, target_size: int,
         "target_size": target_size, "train": train, "rows": n,
         "source": annotation_path.name,
         "source_mtime": annotation_path.stat().st_mtime,
+        "payload_fingerprint": _payload_fingerprint(table, parent),
     }))
     return out
 
@@ -165,6 +185,15 @@ class PackedMultiSet:
             raise RuntimeError(
                 f"packed cache at {root} is stale (source csv changed) — "
                 f"re-run scripts/pack_dataset.py")
+        # payload files regenerated WITHOUT touching the csv (e.g. a rsync
+        # of re-cropped jpegs) must also invalidate the cache
+        want = meta.get("payload_fingerprint")
+        if want is not None and \
+                _payload_fingerprint(self.table, self.parent) != want:
+            raise RuntimeError(
+                f"packed cache at {root} is stale (image/profile payload "
+                f"files changed since packing) — re-run "
+                f"scripts/pack_dataset.py")
         self.images = np.load(root / "images.npy", mmap_mode="r")
         self.profiles = np.load(root / "profiles.npy", mmap_mode="r")
         self.shapes = np.load(root / "shapes.npy")
@@ -193,15 +222,17 @@ class PackedMultiSet:
 
         g = _rng(rng)
         arr = self.images[index]                       # uint8, memmap read
-        x = arr.astype(np.float32) / 255.0 * 2.0 - 1.0
         prof = np.asarray(self.profiles[index])
         t = self.target_size
         if self.train and not self.device_augment:
             # EXACT draw order of the CSV path (tests/test_packed.py):
-            # ImageTransformTrain: dy, dx, flip
+            # ImageTransformTrain: dy, dx, flip. Crop the uint8 plane
+            # BEFORE the float scaling — elementwise, so bit-identical,
+            # and skips the float work on the ~10% cropped away.
             dy = int(g.integers(0, arr.shape[0] - t + 1))
             dx = int(g.integers(0, arr.shape[1] - t + 1))
-            x = x[dy:dy + t, dx:dx + t]
+            x = arr[dy:dy + t, dx:dx + t].astype(np.float32) \
+                / 255.0 * 2.0 - 1.0
             if g.integers(0, 2) == 0:
                 x = x[::-1, :]
             x = np.ascontiguousarray(x)[..., None]
@@ -216,7 +247,7 @@ class PackedMultiSet:
                 x = np.ascontiguousarray(x[:, ::-1])
                 prof = np.ascontiguousarray(prof[::-1])
         else:
-            x = x[..., None]
+            x = (arr.astype(np.float32) / 255.0 * 2.0 - 1.0)[..., None]
         return {
             "image": x,
             "profile": prof,

@@ -42,7 +42,9 @@ class ImageEncoder(nn.Module):
     remat: bool = False
     #: extra kwargs forwarded verbatim to the backbone constructor (e.g.
     #: ``{"img_size": 32, "depth": 2}`` for the scaled-down conformance
-    #: models in __graft_entry__.dryrun_multichip); not a card key
+    #: models in __graft_entry__.dryrun_multichip); also accepted as an
+    #: ``image_encoder_args.backbone_kwargs`` card key (config.py validates
+    #: it — the parity-gate ViT protocol card uses it)
     backbone_kwargs: Optional[dict] = None
     dtype: jnp.dtype = jnp.float32
 

@@ -185,22 +185,21 @@ def train_multi(dataset: str | Path, modelcard: str | Path,
         train_set = PackedMultiSet(data_path / "train.csv", ts,
                                    device_augment=card.device_augment)
         test_set = PackedMultiSet(data_path / "test.csv", ts)
-    elif card.device_augment:
-        # host does the deterministic oversize prefix; crop/flip/noise run
-        # batched on the TPU inside the train step (ops/augment.py)
-        from ..data.transforms import (
-            ImageTransformOversize, ProfileTransformOversize,
-        )
-        train_set = MultiSet(data_path / "train.csv",
-                             ImageTransformOversize(ts),
-                             ProfileTransformOversize(ts))
-        test_set = MultiSet(data_path / "test.csv",
-                            ImageTransformTest(ts), ProfileTransformTest(ts))
     else:
-        train_set = MultiSet(data_path / "train.csv",
-                             ImageTransformTrain(ts),
-                             ProfileTransformTrain(ts),
-                             PairAugmentation())
+        if card.device_augment:
+            # host does the deterministic oversize prefix; crop/flip/noise
+            # run batched on the TPU inside the train step (ops/augment.py)
+            from ..data.transforms import (
+                ImageTransformOversize, ProfileTransformOversize,
+            )
+            train_set = MultiSet(data_path / "train.csv",
+                                 ImageTransformOversize(ts),
+                                 ProfileTransformOversize(ts))
+        else:
+            train_set = MultiSet(data_path / "train.csv",
+                                 ImageTransformTrain(ts),
+                                 ProfileTransformTrain(ts),
+                                 PairAugmentation())
         test_set = MultiSet(data_path / "test.csv",
                             ImageTransformTest(ts), ProfileTransformTest(ts))
 

@@ -91,6 +91,35 @@ def test_class_names_and_stale_guard(packed_root):
     PackedMultiSet(p, TS)
 
 
+def test_payload_stale_guard(packed_root):
+    """Rewriting a payload file (same csv) must also invalidate the cache —
+    the meta fingerprint samples image/profile sizes+mtimes."""
+    import pandas as pd
+
+    p = packed_root / "train.csv"
+    table = pd.read_csv(p)
+    img = packed_root / table["image"].iloc[0]
+    original = img.read_bytes()
+    try:
+        img.write_bytes(original + b"\x00")  # size + mtime change
+        with pytest.raises(RuntimeError, match="payload"):
+            PackedMultiSet(p, TS)
+    finally:
+        img.write_bytes(original)
+    # size restored but mtime_ns moved on — still flagged as stale
+    with pytest.raises(RuntimeError, match="payload"):
+        PackedMultiSet(p, TS)
+    pack_split(p, TS)  # repack for any later test
+    PackedMultiSet(p, TS)
+
+
+def test_empty_split_refused(tmp_path):
+    csv = tmp_path / "train.csv"
+    csv.write_text("image,profile,class\n")
+    with pytest.raises(ValueError, match="no data rows"):
+        pack_split(csv, TS)
+
+
 def test_pickle_roundtrip_remmaps(packed_root):
     """GrainLoader workers unpickle the dataset — the memmaps must be
     re-opened there, not serialized."""
