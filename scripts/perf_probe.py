@@ -90,7 +90,8 @@ def probe_train_step(bs, img_dtype=None, label="", remat=False):
           f"{bs * K / dt:,.0f} pairs/s", flush=True)
 
 
-def probe_vit_train(bs, fused_attention=False, fused_ffn=False):
+def probe_vit_train(bs, fused_attention=False, fused_ffn=False,
+                    tag_extra=""):
     """Full train step for the second flagship family (ViT-T/16 +
     ProfileTransformer) at a given per-chip batch; fused_attention routes
     both transformers through the Pallas lane-mask attention kernel."""
@@ -125,9 +126,41 @@ def probe_vit_train(bs, fused_attention=False, fused_ffn=False):
 
     dt = _time_scan(run_k, state, batch, jax.random.key(1))
     tag = (" fused-attn" if fused_attention else "") + \
-        (" fused-ffn" if fused_ffn else "")
+        (" fused-ffn" if fused_ffn else "") + tag_extra
     print(f"vit_train bs={bs}{tag}: {dt / K * 1e3:.2f} ms/step, "
           f"{bs * K / dt:,.0f} pairs/s", flush=True)
+
+
+def probe_vit_train_dpa(bs):
+    """VERDICT r2 #7 comparison point: the ViT flagship step with the
+    attention core swapped for ``jax.nn.dot_product_attention`` (XLA's own
+    attention lowering — the no-Pallas alternative). Projections stay the
+    packed (E, E) matmuls of FusedSelfAttention, so this isolates the
+    attention-core choice. Caveat: dpa exposes no probability dropout, so
+    the ProfileTransformer's p=0.1 prob-dropout work is OMITTED here —
+    the dpa number is therefore a lower bound (flattering to dpa)."""
+    import jax
+    from multimodal_plankton_recognition_tpu.models import (
+        attention as attn_mod,
+    )
+
+    orig = attn_mod.mha_core
+
+    def dpa_core(q, k, v, bias, seed, heads, rate=0.0, train=False,
+                 interpret=False, narrow=True):
+        b, l, e = q.shape
+        d = e // heads
+        ab = bias[:, None, None, :]  # (B,1,1,Lk) additive pre-softmax
+        o = jax.nn.dot_product_attention(
+            q.reshape(b, l, heads, d), k.reshape(b, l, heads, d),
+            v.reshape(b, l, heads, d), bias=ab)
+        return o.reshape(b, l, e)
+
+    attn_mod.mha_core = dpa_core
+    try:
+        probe_vit_train(bs, fused_attention=True, tag_extra=" [dpa-core]")
+    finally:
+        attn_mod.mha_core = orig
 
 
 def probe_encode(which, bs):
@@ -259,6 +292,7 @@ PROBES = {
                                   fused_attention=True),
     "vit_train256_fused2": partial(probe_vit_train, 256,
                                    fused_attention=True, fused_ffn=True),
+    "vit_train256_dpa": partial(probe_vit_train_dpa, 256),
     "encode_b0_256": partial(probe_encode, "b0", 256),
     "encode_vit_256": partial(probe_encode, "vit", 256),
     "vit_train512": partial(probe_vit_train, 512),
