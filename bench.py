@@ -23,7 +23,9 @@ Prints ONE JSON line. Headline fields {"metric", "value", "unit",
 and "mfu" from XLA's own cost analysis of the compiled step vs the chip's
 bf16 peak, and an "extra" block with the second flagship family
 (ViT-T/16 + ProfileTransformer — the reference's other headline model,
-BASELINE.md cell-12 rows) measured the same way.
+BASELINE.md cell-12 rows) measured the same way, plus both flagships'
+serving throughput (jitted eval-mode encode — the retrieval deployment
+path, docs/PERF.md "Serving / inference path").
 
 Baseline: the reference publishes no throughput (BASELINE.md "Throughput:
 not published"). ``A100_BASELINE_PAIRS_PER_SEC`` is our estimate for the
@@ -116,6 +118,37 @@ def _measure(model, init_kwargs, batch):
     return BATCH * K / dt, flops_per_pair, bytes_per_pair
 
 
+def _measure_encode(model, batch, init_kwargs):
+    """Serving path: pairs/s through the jitted eval-mode MultiModel.encode
+    (the retrieval/encode.py hot loop). Carry perturbs the inputs so the
+    scan body is not loop-invariant (repo measurement rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    variables = model.init(jax.random.key(0), train=False, **init_kwargs,
+                           **batch)
+
+    @jax.jit
+    def run_k(variables, batch):
+        def body(c, _):
+            b = dict(batch, image=batch["image"] + c)
+            emb = model.apply(variables, method="encode", train=False, **b)
+            probe = (jnp.mean(emb["image_emb"].astype(jnp.float32))
+                     + jnp.mean(emb["profile_emb"].astype(jnp.float32)))
+            return probe * 1e-6, probe
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+
+    _, probes = run_k(variables, batch)                 # compile + warm
+    np.asarray(probes)
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        _, probes = run_k(variables, batch)
+        np.asarray(probes)
+        times.append(time.perf_counter() - t0)
+    return BATCH * K / min(times)
+
+
 def main() -> None:
     from multimodal_plankton_recognition_tpu import (
         enable_compilation_cache, use_fast_prng, use_tpu_runtime_flags,
@@ -150,6 +183,16 @@ def main() -> None:
         }
     except Exception as e:  # the headline metric must still print
         vit_extra = {"vit_error": f"{type(e).__name__}: {e}"}
+
+    try:  # serving/inference path (retrieval encode), both flagships
+        vit_extra["serving_b0_pairs_per_sec"] = round(_measure_encode(
+            effnet, synthetic_batch_b0(BATCH, img=IMG, plen=PLEN),
+            {"buckets": 2}), 2)
+        vit_extra["serving_vit_pairs_per_sec"] = round(_measure_encode(
+            vit, synthetic_batch_vit(BATCH, img=IMG, target_size=PLEN),
+            {"buckets": 2}), 2)
+    except Exception as e:
+        vit_extra["serving_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "pretrain_pairs_per_sec_per_chip",

@@ -212,7 +212,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
 def _pick_block_b(b: int, limit: int = 4) -> int:
     """Largest power-of-two divisor of ``b`` up to ``limit`` (VMEM budget:
     ~10 (block_b, L, E) blocks double-buffered ≈ 1.7·block_b MB at L=225,
-    E=192 — block_b=4 stays well under the ~16 MB VMEM)."""
+    E=192 — block_b=4 stays well under the ~16 MB VMEM).
+    ``PLANKTON_ATTN_BLOCK_B`` is a perf-probe override knob."""
+    import os
+    limit = int(os.environ.get("PLANKTON_ATTN_BLOCK_B", limit))
     bb = 1
     while bb * 2 <= limit and b % (bb * 2) == 0:
         bb *= 2
