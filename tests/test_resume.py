@@ -22,6 +22,28 @@ TINY_CARD = {
 }
 
 
+def test_resume_across_mesh_sizes(synthetic_dataset, tmp_path):
+    """Elastic restore: a checkpoint saved under one mesh size resumes
+    under a different one (orbax restores host arrays; the driver re-places
+    them on whatever mesh the card requests). Production concern with no
+    reference counterpart — the reference is single-device."""
+    card = dict(TINY_CARD, bs=8, mesh={"data": 8})
+    card_path = tmp_path / "card8.yaml"
+    card_path.write_text(yaml.safe_dump(card))
+    first = train_multi(synthetic_dataset, card_path, logdir=tmp_path / "m8")
+    ckpt_dir = f"{first['logdir']}/checkpoints"
+    steps_after_first = int(first["state"].step)
+
+    for n_data in (2, 1):
+        card_n = dict(card, mesh={"data": n_data})
+        card_n_path = tmp_path / f"card{n_data}.yaml"
+        card_n_path.write_text(yaml.safe_dump(card_n))
+        res = train_multi(synthetic_dataset, card_n_path,
+                          logdir=tmp_path / f"m{n_data}", resume=ckpt_dir)
+        assert int(res["state"].step) == 2 * steps_after_first
+        assert np.isfinite(res["history"][-1]["train_loss"])
+
+
 def test_resume_continues_from_checkpoint(synthetic_dataset, tmp_path):
     card_path = tmp_path / "card.yaml"
     card_path.write_text(yaml.safe_dump(TINY_CARD))
