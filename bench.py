@@ -209,5 +209,31 @@ def main() -> None:
     }))
 
 
+def _main_with_retry(attempts: int = 4, wait_s: int = 120) -> None:
+    """The driver runs bench.py unattended at round end; the remote-TPU
+    tunnel occasionally drops and JAX then raises ``Unable to initialize
+    backend`` (and caches the failure for the process lifetime). Re-exec
+    the interpreter a bounded number of times so a transient outage does
+    not turn the round's benchmark record into a stack trace."""
+    import os
+    import sys
+
+    attempt = int(os.environ.get("PLANKTON_BENCH_ATTEMPT", "0"))
+    try:
+        main()
+    except RuntimeError as e:
+        transient = ("unable to initialize backend" in str(e).lower()
+                     or "unavailable" in str(e).lower())
+        if not transient or attempt + 1 >= attempts:
+            raise
+        print(f"# TPU backend unavailable (attempt {attempt + 1}/"
+              f"{attempts}); retrying in {wait_s}s", file=sys.stderr,
+              flush=True)
+        time.sleep(wait_s)
+        os.environ["PLANKTON_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)]
+                 + sys.argv[1:])
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
