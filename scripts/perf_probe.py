@@ -163,6 +163,23 @@ def probe_vit_train_dpa(bs):
         attn_mod.mha_core = orig
 
 
+def probe_vit_train_bf16ln(bs):
+    """VERDICT r2 #7 lever: LayerNorm statistics in bf16 instead of flax's
+    default f32 promotion (``force_float32_reductions=False``) across both
+    flagship transformers. Perf probe only — training-accuracy impact of
+    bf16 mean/var at D=192 would need a convergence run before defaulting."""
+    import functools
+    import flax.linen as nn
+
+    orig = nn.LayerNorm
+    nn.LayerNorm = functools.partial(orig, force_float32_reductions=False)
+    try:
+        probe_vit_train(bs, fused_attention=True,
+                        tag_extra=" [bf16-ln-stats]")
+    finally:
+        nn.LayerNorm = orig
+
+
 def probe_encode(which, bs):
     """Inference/serving path: jitted eval-mode MultiModel.encode (the
     retrieval/encode.py hot loop) — pairs/s at eval batch ``bs``."""
@@ -293,6 +310,7 @@ PROBES = {
     "vit_train256_fused2": partial(probe_vit_train, 256,
                                    fused_attention=True, fused_ffn=True),
     "vit_train256_dpa": partial(probe_vit_train_dpa, 256),
+    "vit_train256_bf16ln": partial(probe_vit_train_bf16ln, 256),
     "encode_b0_256": partial(probe_encode, "b0", 256),
     "encode_vit_256": partial(probe_encode, "vit", 256),
     "vit_train512": partial(probe_vit_train, 512),
