@@ -120,23 +120,17 @@ def _measure(model, init_kwargs, batch):
 
 def _measure_encode(model, batch, init_kwargs):
     """Serving path: pairs/s through the jitted eval-mode MultiModel.encode
-    (the retrieval/encode.py hot loop). Carry perturbs the inputs so the
-    scan body is not loop-invariant (repo measurement rule)."""
+    (the retrieval/encode.py hot loop); measurement body shared with
+    scripts/perf_probe.py via flagships.encode_scan."""
     import jax
-    import jax.numpy as jnp
+
+    from multimodal_plankton_recognition_tpu.models.flagships import (
+        encode_scan,
+    )
 
     variables = model.init(jax.random.key(0), train=False, **init_kwargs,
                            **batch)
-
-    @jax.jit
-    def run_k(variables, batch):
-        def body(c, _):
-            b = dict(batch, image=batch["image"] + c)
-            emb = model.apply(variables, method="encode", train=False, **b)
-            probe = (jnp.mean(emb["image_emb"].astype(jnp.float32))
-                     + jnp.mean(emb["profile_emb"].astype(jnp.float32)))
-            return probe * 1e-6, probe
-        return jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+    run_k = encode_scan(model, K)
 
     _, probes = run_k(variables, batch)                 # compile + warm
     np.asarray(probes)
@@ -192,6 +186,8 @@ def main() -> None:
             vit, synthetic_batch_vit(BATCH, img=IMG, target_size=PLEN),
             {"buckets": 2}), 2)
     except Exception as e:
+        if _is_transient(e):  # let the retry wrapper recover the metric
+            raise
         vit_extra["serving_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
@@ -209,6 +205,13 @@ def main() -> None:
     }))
 
 
+def _is_transient(e: Exception) -> bool:
+    """TPU-tunnel blips surface as 'Unable to initialize backend' /
+    UNAVAILABLE errors; these are worth a bounded re-exec retry."""
+    msg = str(e).lower()
+    return ("unable to initialize backend" in msg or "unavailable" in msg)
+
+
 def _main_with_retry(attempts: int = 4, wait_s: int = 120) -> None:
     """The driver runs bench.py unattended at round end; the remote-TPU
     tunnel occasionally drops and JAX then raises ``Unable to initialize
@@ -221,10 +224,8 @@ def _main_with_retry(attempts: int = 4, wait_s: int = 120) -> None:
     attempt = int(os.environ.get("PLANKTON_BENCH_ATTEMPT", "0"))
     try:
         main()
-    except RuntimeError as e:
-        transient = ("unable to initialize backend" in str(e).lower()
-                     or "unavailable" in str(e).lower())
-        if not transient or attempt + 1 >= attempts:
+    except Exception as e:
+        if not _is_transient(e) or attempt + 1 >= attempts:
             raise
         print(f"# TPU backend unavailable (attempt {attempt + 1}/"
               f"{attempts}); retrying in {wait_s}s", file=sys.stderr,

@@ -54,6 +54,29 @@ def flagship_vit(dim_embed: int = 512, fused_attention: bool = True,
     )
 
 
+def encode_scan(model, k: int):
+    """Jitted K-iteration eval-mode ``MultiModel.encode`` scan — the
+    serving-path measurement body shared by bench.py and
+    scripts/perf_probe.py (one definition so the measurement contract
+    cannot drift between tools). The carry perturbs the inputs so XLA
+    cannot hoist a loop-invariant body (repo measurement rule), and the
+    summed embedding means are returned for a forced host fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run_k(variables, batch):
+        def body(c, _):
+            b = dict(batch, image=batch["image"] + c)
+            emb = model.apply(variables, method="encode", train=False, **b)
+            probe = (jnp.mean(emb["image_emb"].astype(jnp.float32))
+                     + jnp.mean(emb["profile_emb"].astype(jnp.float32)))
+            return probe * 1e-6, probe
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(k))
+
+    return run_k
+
+
 def synthetic_batch_b0(bs: int, img: int = 224, plen: int = 224,
                        seed: int = 0, img_dtype=None):
     import jax.numpy as jnp

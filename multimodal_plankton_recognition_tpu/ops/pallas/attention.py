@@ -213,9 +213,14 @@ def _pick_block_b(b: int, limit: int = 4) -> int:
     """Largest power-of-two divisor of ``b`` up to ``limit`` (VMEM budget:
     ~10 (block_b, L, E) blocks double-buffered ≈ 1.7·block_b MB at L=225,
     E=192 — block_b=4 stays well under the ~16 MB VMEM).
-    ``PLANKTON_ATTN_BLOCK_B`` is a perf-probe override knob."""
+    ``PLANKTON_ATTN_BLOCK_B`` is a perf-probe override knob; malformed or
+    out-of-budget values are ignored (capped at 8) so a stale export can
+    not break or VMEM-OOM a training run."""
     import os
-    limit = int(os.environ.get("PLANKTON_ATTN_BLOCK_B", limit))
+    try:
+        limit = min(int(os.environ.get("PLANKTON_ATTN_BLOCK_B", limit)), 8)
+    except ValueError:
+        pass
     bb = 1
     while bb * 2 <= limit and b % (bb * 2) == 0:
         bb *= 2

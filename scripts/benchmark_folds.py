@@ -23,13 +23,16 @@ def main() -> None:
     parser.add_argument("-o", "--output", help="Path to pickled result data")
     parser.add_argument("--repeats", type=int, default=REPEATS)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--threshold", type=int, default=20,
+                        help="drop classes with fewer samples than this")
     args = parser.parse_args()
 
     with open(args.embeddings, "rb") as buf:
         embeddings = pickle.load(buf)
 
     results = run_suite(embeddings, mode="folds", N=N, K=K,
-                        repeats=args.repeats, seed=args.seed, progress=True)
+                        repeats=args.repeats, th=args.threshold,
+                        seed=args.seed, progress=True)
     with open(args.output, "wb") as buf:
         pickle.dump(results, buf)
 

@@ -143,6 +143,16 @@ def probe_vit_train_dpa(bs):
     from multimodal_plankton_recognition_tpu.models import (
         attention as attn_mod,
     )
+    from multimodal_plankton_recognition_tpu.ops.kernels import (
+        kernel_path_allowed,
+    )
+
+    # the patched core only runs where FusedSelfAttention takes the kernel
+    # path; on the einsum fallback the [dpa-core] label would be a lie
+    if not kernel_path_allowed():
+        raise SystemExit("vit_train*_dpa needs the kernel path "
+                         "(single-chip TPU): the fallback would not "
+                         "exercise the patched attention core")
 
     orig = attn_mod.mha_core
 
@@ -182,13 +192,12 @@ def probe_vit_train_bf16ln(bs):
 
 def probe_encode(which, bs):
     """Inference/serving path: jitted eval-mode MultiModel.encode (the
-    retrieval/encode.py hot loop) — pairs/s at eval batch ``bs``."""
+    retrieval/encode.py hot loop) — pairs/s at eval batch ``bs``.
+    Measurement body shared with bench.py via flagships.encode_scan."""
     import jax
-    import jax.numpy as jnp
-    from multimodal_plankton_recognition_tpu.models import MultiModel
 
     from multimodal_plankton_recognition_tpu.models.flagships import (
-        flagship_vit, synthetic_batch_vit,
+        encode_scan, flagship_vit, synthetic_batch_vit,
     )
     if which == "b0":
         model = _flagship()
@@ -198,17 +207,7 @@ def probe_encode(which, bs):
         batch = synthetic_batch_vit(bs)
     variables = model.init(jax.random.key(0), train=False, buckets=2,
                            **batch)
-
-    @jax.jit
-    def run_k(variables, batch):
-        def body(c, _):
-            # carry feeds the inputs or XLA hoists the loop-invariant body
-            b = dict(batch, image=batch["image"] + c)
-            emb = model.apply(variables, method="encode", train=False, **b)
-            probe = (jnp.mean(emb["image_emb"].astype(jnp.float32))
-                     + jnp.mean(emb["profile_emb"].astype(jnp.float32)))
-            return probe * 1e-6, probe
-        return jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+    run_k = encode_scan(model, K)
 
     dt = _time_scan(run_k, variables, batch)
     print(f"encode[{which}] bs={bs}: {dt / K * 1e3:.2f} ms/batch, "
