@@ -228,3 +228,23 @@ def test_fused_flag_shards_on_multi_device_mesh():
     out = jax.jit(lambda v, p, t, m, pl_: enc.apply(v, p, t, m, pl_))(
         variables, prof, time, mask, plen)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_block_b_env_knob_is_defensive(monkeypatch):
+    """PLANKTON_ATTN_BLOCK_B is a perf-probe override; malformed values are
+    ignored and valid ones are capped at 8 so a stale export cannot
+    VMEM-OOM or crash a training run."""
+    from multimodal_plankton_recognition_tpu.ops.pallas.attention import (
+        _pick_block_b,
+    )
+
+    assert _pick_block_b(256) == 4                      # default limit
+    monkeypatch.setenv("PLANKTON_ATTN_BLOCK_B", "8")
+    assert _pick_block_b(256) == 8
+    monkeypatch.setenv("PLANKTON_ATTN_BLOCK_B", "64")   # capped
+    assert _pick_block_b(256) == 8
+    monkeypatch.setenv("PLANKTON_ATTN_BLOCK_B", "8x")   # malformed: default
+    assert _pick_block_b(256) == 4
+    monkeypatch.setenv("PLANKTON_ATTN_BLOCK_B", "0")    # degenerate: 1
+    assert _pick_block_b(256) == 1
+    assert _pick_block_b(7) == 1                        # odd batch: 1 always
