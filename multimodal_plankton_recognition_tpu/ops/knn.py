@@ -49,6 +49,35 @@ def _topk_euclidean(queries: jnp.ndarray, gallery: jnp.ndarray,
     return idx, dist
 
 
+def weighted_mode_device(classes: jnp.ndarray, weights: jnp.ndarray,
+                         n_classes: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jittable row-wise weighted mode: ``(argmax class id, vote matrix)``.
+
+    Device-side counterpart of :func:`weighted_mode` (same semantics:
+    ties break toward the smaller class id via argmax-first-occurrence),
+    used by the exported retrieval-classifier artifact
+    (retrieval/export.py) where the vote accumulation must live inside
+    the lowered StableHLO function.
+    """
+    B, K = classes.shape
+    votes = jnp.zeros((B, n_classes), dtype=jnp.float32)
+    rows = jnp.repeat(jnp.arange(B), K)
+    votes = votes.at[rows, classes.ravel()].add(
+        weights.ravel().astype(jnp.float32))
+    return jnp.argmax(votes, axis=1), votes
+
+
+def inverse_distance_weights(dist: jnp.ndarray) -> jnp.ndarray:
+    """Jittable inverse-distance weights with the reference's exact-hit
+    rule (reference: src/ann.py:28-34): when any neighbor distance is 0,
+    the zero-distance neighbors get all the mass (weight 1) and the rest
+    none. Mirrors :meth:`ANNClassifier._get_weights`."""
+    w = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, 1e-38), jnp.inf)
+    inf_mask = jnp.isinf(w)
+    inf_row = jnp.any(inf_mask, axis=1, keepdims=True)
+    return jnp.where(inf_row, inf_mask.astype(w.dtype), w)
+
+
 def weighted_mode(classes: np.ndarray, weights: np.ndarray,
                   n_classes: int | None = None) -> np.ndarray:
     """Row-wise weighted mode (sklearn.utils.extmath.weighted_mode
