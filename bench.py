@@ -212,25 +212,30 @@ def _is_transient(e: Exception) -> bool:
     return ("unable to initialize backend" in msg or "unavailable" in msg)
 
 
-def _main_with_retry(attempts: int = 4, wait_s: int = 120) -> None:
+def _main_with_retry(attempts: int = None, wait_s: int = None) -> None:
     """The driver runs bench.py unattended at round end; the remote-TPU
-    tunnel occasionally drops and JAX then raises ``Unable to initialize
-    backend`` (and caches the failure for the process lifetime). Re-exec
-    the interpreter a bounded number of times so a transient outage does
-    not turn the round's benchmark record into a stack trace."""
+    tunnel occasionally drops (for hours, CLAUDE.md) and JAX then raises
+    ``Unable to initialize backend`` (and caches the failure for the
+    process lifetime). Re-exec the interpreter a bounded number of times
+    with exponential backoff (120s, 240s, 480s, ... capped at 900s) so a
+    transient outage does not turn the round's benchmark record into a
+    stack trace. Tunable via PLANKTON_BENCH_{ATTEMPTS,WAIT_S}."""
     import os
     import sys
 
+    attempts = attempts or int(os.environ.get("PLANKTON_BENCH_ATTEMPTS", "6"))
+    wait_s = wait_s or int(os.environ.get("PLANKTON_BENCH_WAIT_S", "120"))
     attempt = int(os.environ.get("PLANKTON_BENCH_ATTEMPT", "0"))
     try:
         main()
     except Exception as e:
         if not _is_transient(e) or attempt + 1 >= attempts:
             raise
+        wait = min(wait_s * (2 ** attempt), 900)
         print(f"# TPU backend unavailable (attempt {attempt + 1}/"
-              f"{attempts}); retrying in {wait_s}s", file=sys.stderr,
+              f"{attempts}); retrying in {wait}s", file=sys.stderr,
               flush=True)
-        time.sleep(wait_s)
+        time.sleep(wait)
         os.environ["PLANKTON_BENCH_ATTEMPT"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)]
                  + sys.argv[1:])
