@@ -239,3 +239,24 @@ def test_export_checkpoint_end_to_end(synthetic_dataset, tmp_path):
     np.testing.assert_allclose(
         out["image_emb"], np.asarray(l2_normalize(want["image_emb"])),
         rtol=1e-5, atol=1e-5)
+
+    # serve CLI over the artifact: embeddings pickle in the encode layout
+    import runpy
+    import pickle
+    import sys
+
+    out_pkl = tmp_path / "served.pkl"
+    argv, sys.argv = sys.argv, [
+        "scripts/serve.py", "-a", str(tmp_path / "artifact"),
+        "-d", str(synthetic_dataset / "test.csv"), "-o", str(out_pkl),
+        "--name", "tiny", "--fold", "1", "--batch-size", "5"]
+    try:
+        runpy.run_path("scripts/serve.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    with open(out_pkl, "rb") as f:
+        served = pickle.load(f)["tiny"][1]
+    n = served["image"].shape[0]
+    assert n == len(served["label"]) and n > 0
+    np.testing.assert_allclose(np.linalg.norm(served["image"], axis=1),
+                               1.0, atol=1e-5)
