@@ -231,7 +231,9 @@ def _main_with_retry(attempts: int = None, wait_s: int = None) -> None:
     except Exception as e:
         if not _is_transient(e) or attempt + 1 >= attempts:
             raise
-        wait = min(wait_s * (2 ** attempt), 900)
+        # cap the exponential growth at 900s, but never clamp below a
+        # user-set base wait (PLANKTON_BENCH_WAIT_S=3600 means >= 1h waits)
+        wait = min(wait_s * (2 ** attempt), max(900, wait_s))
         print(f"# TPU backend unavailable (attempt {attempt + 1}/"
               f"{attempts}); retrying in {wait}s", file=sys.stderr,
               flush=True)

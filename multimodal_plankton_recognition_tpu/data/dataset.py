@@ -37,6 +37,11 @@ class MultiSet:
         annotation_path = Path(annotation_path)
         self.parent = annotation_path.parent
         self.table = pd.read_csv(annotation_path)
+        if "class" not in self.table.columns:
+            # label-less inference table (serving-side): synthesize the
+            # reference's 'unknown' placeholder label (the convention of its
+            # unlabeled corpus, reference: CS_103_Uto2024/preprocess.py:75)
+            self.table = self.table.assign(**{"class": "unknown"})
         self.class_names = np.unique(self.table["class"])
         self.image_transforms = image_transforms
         self.profile_transform = profile_transform

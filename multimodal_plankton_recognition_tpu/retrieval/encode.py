@@ -32,14 +32,43 @@ from ..train.checkpoint import load_from_checkpoint
 from ..ops.losses import l2_normalize
 
 
+def eval_pipeline(card: ModelCard, kind: str):
+    """``(image_tf, profile_tf, tokenizer)`` for the deterministic eval
+    pipeline of a model/artifact ``kind`` — the ONE place the eval-side
+    transform + pad rules live, shared by the encode CLI, the classifier
+    predict path, and the serving CLI (scripts/serve.py) so exported
+    artifacts and their consumers cannot drift apart.
+
+    ``multi``/``retrieval`` use the test-time transforms at the card's
+    ``target_size`` (reference: experiments.ipynb cell 4); the supervised
+    ``image``/``profile`` kinds use the raw canonicalizing transforms their
+    training drivers use (reference: scripts/train_image.py:37-38,
+    train_profile.py:31,38).
+    """
+    from ..data.transforms import ImageTransforms, ProfileTransform
+
+    enc_kind = (card.profile_encoder_args or {}).get("kind", "cnn")
+    ts = card.target_size
+    if kind in ("multi", "retrieval"):
+        pad_to = ts + 1 if enc_kind == "transformer" else ts
+        return (ImageTransformTest(ts), ProfileTransformTest(ts),
+                tokenize.get_tokenizer(enc_kind, ts, pad_to=pad_to))
+    if kind == "profile":
+        max_len = card.max_len or 256
+        pad_to = max_len + 1 if enc_kind == "transformer" else max_len
+        return (ImageTransforms(target_size=ts),
+                ProfileTransform(max_len=card.max_len),
+                tokenize.get_tokenizer(enc_kind, max_len, pad_to=pad_to))
+    if kind == "image":  # profiles unused downstream: auto-pad, no cap
+        return (ImageTransforms(target_size=ts), ProfileTransform(max_len=0),
+                tokenize.get_tokenizer(enc_kind, card.max_len or 256))
+    raise ValueError(f"Unknown model kind {kind!r}")
+
+
 def _encode_csv(model, variables, card: ModelCard, csv_path: Path,
                 batch_size: int = 64, num_workers: int = 4) -> Dict:
-    ts = card.target_size
-    dataset = MultiSet(csv_path, ImageTransformTest(ts),
-                       ProfileTransformTest(ts))
-    kind = (card.profile_encoder_args or {}).get("kind", "cnn")
-    pad_to = ts + 1 if kind == "transformer" else ts
-    tok = tokenize.get_tokenizer(kind, ts, pad_to=pad_to)
+    image_tf, profile_tf, tok = eval_pipeline(card, "multi")
+    dataset = MultiSet(csv_path, image_tf, profile_tf)
     loader = Loader(dataset, batch_size, multi_collate_fn(tok),
                     shuffle=False, drop_last=False, num_workers=num_workers)
 
@@ -80,7 +109,6 @@ def predict_classifier(checkpoint_dir: Path | str, csv_path: Path | str,
     """Export a supervised classifier's logits + labels for a csv
     (reference ``ImageModel/ProfileModel.predict_step`` semantics,
     src/model.py:289-291, 445-447)."""
-    from ..data.transforms import ImageTransforms, ProfileTransform
     from ..data.pipeline import image_collate_fn, profile_collate_fn
     from ..utils import LabelVocab
 
@@ -92,18 +120,12 @@ def predict_classifier(checkpoint_dir: Path | str, csv_path: Path | str,
         raise ValueError(f"predict_classifier needs an image/profile "
                          f"checkpoint, got kind={kind!r}")
     vocab = LabelVocab(meta["class_names"])
-    image_tf = ImageTransforms(target_size=card.target_size)
-    profile_tf = ProfileTransform(max_len=card.max_len if kind == "profile"
-                                  else 0)
+    image_tf, profile_tf, tok = eval_pipeline(card, kind)
     dataset = MultiSet(csv_path, image_tf, profile_tf)
     if kind == "image":
         collate = image_collate_fn(vocab)
     else:
-        enc_kind = (card.profile_encoder_args or {}).get("kind", "cnn")
-        max_len = card.max_len or 256
-        pad_to = max_len + 1 if enc_kind == "transformer" else max_len
-        collate = profile_collate_fn(
-            tokenize.get_tokenizer(enc_kind, max_len, pad_to=pad_to), vocab)
+        collate = profile_collate_fn(tok, vocab)
     loader = Loader(dataset, batch_size, collate, shuffle=False,
                     drop_last=False, num_workers=num_workers)
 

@@ -244,14 +244,17 @@ def test_export_checkpoint_end_to_end(synthetic_dataset, tmp_path):
     import runpy
     import pickle
     import sys
+    from pathlib import Path
 
+    serve_py = str(Path(__file__).resolve().parents[1] / "scripts"
+                   / "serve.py")
     out_pkl = tmp_path / "served.pkl"
     argv, sys.argv = sys.argv, [
-        "scripts/serve.py", "-a", str(tmp_path / "artifact"),
+        serve_py, "-a", str(tmp_path / "artifact"),
         "-d", str(synthetic_dataset / "test.csv"), "-o", str(out_pkl),
         "--name", "tiny", "--fold", "1", "--batch-size", "5"]
     try:
-        runpy.run_path("scripts/serve.py", run_name="__main__")
+        runpy.run_path(serve_py, run_name="__main__")
     finally:
         sys.argv = argv
     with open(out_pkl, "rb") as f:
@@ -260,3 +263,45 @@ def test_export_checkpoint_end_to_end(synthetic_dataset, tmp_path):
     assert n == len(served["label"]) and n > 0
     np.testing.assert_allclose(np.linalg.norm(served["image"], axis=1),
                                1.0, atol=1e-5)
+
+    # label-less deployment CSV (no `class` column) serves fine
+    import pandas as pd
+
+    src = pd.read_csv(synthetic_dataset / "test.csv")
+    labeless = tmp_path / "labeless.csv"
+    # paths in the csv resolve relative to its directory: absolutize them
+    for col in ("image", "profile"):
+        src[col] = [str((synthetic_dataset / p).resolve())
+                    for p in src[col]]
+    src.drop(columns=["class"]).to_csv(labeless, index=False)
+    out2 = tmp_path / "labeless.pkl"
+    argv, sys.argv = sys.argv, [
+        serve_py, "-a", str(tmp_path / "artifact"), "-d", str(labeless),
+        "-o", str(out2), "--batch-size", "5"]
+    try:
+        runpy.run_path(serve_py, run_name="__main__")
+    finally:
+        sys.argv = argv
+    with open(out2, "rb") as f:
+        served2 = pickle.load(f)["serve"][1]
+    assert list(np.unique(served2["label"])) == ["unknown"]
+    np.testing.assert_allclose(served2["image"], served["image"],
+                               atol=1e-5)
+
+    # pinned-batch artifact: trailing partial batch is padded + trimmed
+    art4 = ex.export_checkpoint(ckpt_dir, tmp_path / "artifact4",
+                                platforms=("cpu",), batch_size=4)
+    out3 = tmp_path / "pinned.pkl"
+    argv, sys.argv = sys.argv, [
+        serve_py, "-a", str(art4), "-d",
+        str(synthetic_dataset / "test.csv"), "-o", str(out3),
+        "--batch-size", "6"]  # mismatched: must be overridden to 4
+    try:
+        runpy.run_path(serve_py, run_name="__main__")
+    finally:
+        sys.argv = argv
+    with open(out3, "rb") as f:
+        served3 = pickle.load(f)["serve"][1]
+    assert served3["image"].shape == served["image"].shape
+    np.testing.assert_allclose(served3["image"], served["image"],
+                               atol=1e-5)
