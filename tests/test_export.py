@@ -201,6 +201,59 @@ def test_retrieval_classifier_export_matches_ann(tmp_path):
     assert set(names) <= {"a", "b", "c"}
 
 
+def test_export_strips_fused_flags_tree_compatibly(tmp_path):
+    """A checkpoint whose card enables the Pallas kernels exports on the
+    stripped card with the SAME variables (fused modules are
+    param-tree-compatible with their flax counterparts), and the artifact
+    matches the original model's encode output."""
+    from multimodal_plankton_recognition_tpu.train import make_optimizer
+    from multimodal_plankton_recognition_tpu.train.state import TrainState
+    from multimodal_plankton_recognition_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+
+    card_dict = {
+        "bs": 4, "dim_embedding": 16, "target_size": 32,
+        "image_encoder_args": {"name": "resnet18", "metadata": True},
+        "profile_encoder_args": {
+            "kind": "transformer", "dim_in": 6, "dim_hidden": 16,
+            "num_head": 2, "num_layers": 1, "target_size": 32,
+            "fused_attention": True},
+        "coordination_args": {"method": "clip"},
+        "trainer_args": {"precision": "32"},
+    }
+    card = ModelCard.from_dict(card_dict)
+    model = build.build_multi_model(card)
+    variables = _init_vars(model, card, "multi")
+    tx = make_optimizer(card.optim_args)
+    state = TrainState(step=0, params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]))
+    ckpt_dir = tmp_path / "ckpt"
+    mngr = CheckpointManager(ckpt_dir, monitor="valid_loss", save_top_k=1,
+                             metadata={"card": card.to_dict(),
+                                       "kind": "multi",
+                                       "class_names": ["x"]})
+    assert mngr.save(0, state, {"valid_loss": 1.0})
+    mngr.wait()
+    mngr.close()
+
+    art = ex.export_checkpoint(ckpt_dir, tmp_path / "art", platforms=("cpu",))
+    serving = ex.load_artifact(art)
+    assert "fused_attention" not in (serving.meta["card"]
+                                     .get("profile_encoder_args") or {})
+    # the caller's card dict must not have been mutated by the strip
+    assert card.to_dict()["profile_encoder_args"]["fused_attention"] is True
+
+    batch = _batch(card, "multi", 3, seed=11)
+    got = serving.call(batch)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    want = model.apply(variables, method="encode", train=False, **arrays)
+    np.testing.assert_allclose(
+        got["profile_emb"], np.asarray(l2_normalize(want["profile_emb"])),
+        rtol=1e-5, atol=1e-5)
+
+
 def test_export_checkpoint_end_to_end(synthetic_dataset, tmp_path):
     """Full path: train a step, save a checkpoint, export, serve."""
     from multimodal_plankton_recognition_tpu.train.checkpoint import (
