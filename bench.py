@@ -212,6 +212,61 @@ def _is_transient(e: Exception) -> bool:
     return ("unable to initialize backend" in msg or "unavailable" in msg)
 
 
+class _BackendUnavailable(RuntimeError):
+    pass
+
+
+def _probe_backend_bounded() -> None:
+    """Initialize the backend in a SUBPROCESS with a hard timeout first.
+
+    During tunnel outages ``jax.devices()`` does not always raise — it can
+    HANG inside backend init for 30+ minutes (observed), which would pin
+    the unattended round-end bench process with no exception for the retry
+    loop to catch. A bounded child process turns the hang into a normal
+    transient failure (PLANKTON_BENCH_PROBE_TIMEOUT_S, default 600 — first
+    healthy init through the tunnel is ~20-40s)."""
+    import os
+    import subprocess
+    import sys
+
+    import tempfile
+
+    timeout = int(os.environ.get("PLANKTON_BENCH_PROBE_TIMEOUT_S", "600"))
+    # stderr to a file, not a pipe: the TPU plugin spawns helper processes
+    # that inherit stderr and would keep a pipe (and thus communicate())
+    # open forever after the probe child is killed
+    with tempfile.TemporaryFile(mode="w+") as err:
+        probe_code = (
+            "import jax\n"
+            "ds = jax.devices()\n"
+            # default-platform init falls back to CPU when the tunnel is
+            # down — that must count as unavailable, not as a 2-hour CPU
+            # 'benchmark'
+            "assert any('tpu' in d.platform.lower() or 'TPU' in\n"
+            "           d.device_kind for d in ds), f'no TPU, got {ds[:1]}'\n"
+        )
+        proc = subprocess.Popen(
+            [sys.executable, "-c", probe_code],
+            stdout=subprocess.DEVNULL, stderr=err,
+            start_new_session=True)  # own group: kill reaps helpers too
+        try:
+            rc = proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            import signal
+
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+            raise _BackendUnavailable(
+                f"unable to initialize backend: jax.devices() still hung "
+                f"after {timeout}s (tunnel outage)")
+        if rc != 0:
+            err.seek(0)
+            tail = err.read().strip().splitlines()[-1:]
+            raise _BackendUnavailable(
+                f"unable to initialize backend in probe subprocess: "
+                f"{' '.join(tail)}")
+
+
 def _main_with_retry(attempts: int = None, wait_s: int = None) -> None:
     """The driver runs bench.py unattended at round end; the remote-TPU
     tunnel occasionally drops (for hours, CLAUDE.md) and JAX then raises
@@ -227,9 +282,33 @@ def _main_with_retry(attempts: int = None, wait_s: int = None) -> None:
     wait_s = wait_s or int(os.environ.get("PLANKTON_BENCH_WAIT_S", "120"))
     attempt = int(os.environ.get("PLANKTON_BENCH_ATTEMPT", "0"))
     try:
+        _probe_backend_bounded()
         main()
     except Exception as e:
-        if not _is_transient(e) or attempt + 1 >= attempts:
+        if _is_transient(e) and attempt + 1 >= attempts:
+            # retries exhausted on a tunnel outage: emit a machine-readable
+            # record (value null — NOT a measurement) pointing at the last
+            # real on-hardware result, instead of a bare stack trace
+            last = None
+            for prev in ("BENCH_r02.json", "BENCH_r01.json"):
+                p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 prev)
+                if os.path.exists(p):
+                    try:
+                        with open(p) as f:
+                            last = {"file": prev, "record": json.load(f)}
+                    except Exception:
+                        pass
+                    break
+            print(json.dumps({
+                "metric": "pretrain_pairs_per_sec_per_chip",
+                "value": None, "unit": "pairs/s", "vs_baseline": None,
+                "error": f"TPU backend unavailable after {attempts} "
+                         f"attempts: {type(e).__name__}: {e}",
+                "last_measured": last,
+            }))
+            raise SystemExit(1)
+        if not _is_transient(e):
             raise
         # cap the exponential growth at 900s, but never clamp below a
         # user-set base wait (PLANKTON_BENCH_WAIT_S=3600 means >= 1h waits)

@@ -23,6 +23,28 @@ from ..config import ModelCard
 METADATA_FILE = "plankton_metadata.json"
 
 
+def _restore_host(directory: Path | str, step: int) -> Dict[str, Any]:
+    """Device-agnostic restore: read the checkpoint tree as host numpy.
+
+    A checkpoint saved in a process with different devices (CPU-saved
+    checkpoint opened on a TPU host, or vice versa) records shardings
+    whose devices do not exist here; orbax's default restore then fails
+    with ``Device TFRT_CPU_0 was not found in jax.local_devices()``.
+    Restoring every leaf as ``np.ndarray`` sidesteps device placement
+    entirely — callers jit/shard the arrays on first use. Used whenever no
+    template with concrete shardings is provided.
+    """
+    import jax
+
+    path = Path(directory) / str(step) / "default"
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), dict(tree))
+    return ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+
+
 class CheckpointManager:
     def __init__(self, directory: Path | str, monitor: str = "valid_loss",
                  mode: str = "min", save_top_k: int = 1,
@@ -83,7 +105,7 @@ class CheckpointManager:
         if template is not None:
             return self._mngr.restore(
                 step, args=ocp.args.StandardRestore(template))
-        return self._mngr.restore(step)
+        return _restore_host(self.directory, step)
 
     def close(self) -> None:
         self._mngr.close()
@@ -132,8 +154,8 @@ def load_from_checkpoint(directory: Path | str,
         if not steps:
             raise FileNotFoundError(f"No checkpoints in {directory}")
         step = max(steps)
-    restored = mngr.restore(step)
     mngr.close()
+    restored = _restore_host(directory, step)
     variables = {"params": restored["params"]}
     if restored.get("batch_stats"):
         variables["batch_stats"] = restored["batch_stats"]

@@ -90,6 +90,75 @@ def probe_train_step(bs, img_dtype=None, label="", remat=False):
           f"{bs * K / dt:,.0f} pairs/s", flush=True)
 
 
+def probe_train_step_bnrows(bs, rows):
+    """PROBE-ONLY lever: BatchNorm train statistics computed over the first
+    ``rows`` rows of the batch instead of all ``bs`` (full tensor still
+    normalized with them). The B0 step's train-mode BN costs ~10 ms/step
+    (docs/PERF.md ablation: 58.0 -> 48.1 ms with eval-mode BN), mostly the
+    statistics passes over the 6x-expanded tensors; subset stats read a
+    fraction of that. Numerics note: the reference's effective step is 4
+    microbatches of 64, each normalized with ITS OWN 64-row statistics
+    (torch BN under grad accumulation), so rows=64 at bs=256 is no further
+    from reference semantics than our full-batch stats are. Wire a card
+    flag only if this measures a win AND a convergence check passes."""
+    import flax.linen as fnn
+    import jax
+    import jax.numpy as jnp
+    from typing import Any, Optional
+
+    class _SubsetBN(fnn.Module):
+        """nn.BatchNorm drop-in (same params/batch_stats tree) with stats
+        over the leading ``rows`` batch rows in train mode."""
+        use_running_average: Optional[bool] = None
+        axis: int = -1
+        momentum: float = 0.99
+        epsilon: float = 1e-5
+        dtype: Optional[Any] = None
+        param_dtype: Any = jnp.float32
+        use_bias: bool = True
+        use_scale: bool = True
+        axis_name: Optional[str] = None
+
+        @fnn.compact
+        def __call__(self, x, use_running_average=None):
+            use_ra = fnn.merge_param(
+                "use_running_average", self.use_running_average,
+                use_running_average)
+            feat = x.shape[-1]
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros(feat, jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones(feat, jnp.float32))
+            if use_ra:
+                mean, var = ra_mean.value, ra_var.value
+            else:
+                sub = x[: min(rows, x.shape[0])].astype(jnp.float32)
+                axes = tuple(range(sub.ndim - 1))
+                mean = jnp.mean(sub, axes)
+                mean2 = jnp.mean(jnp.square(sub), axes)
+                var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+                if not self.is_initializing():
+                    m = self.momentum
+                    ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                    ra_var.value = m * ra_var.value + (1 - m) * var
+            y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+                var + self.epsilon)
+            if self.use_scale:
+                y = y * self.param("scale", fnn.initializers.ones,
+                                   (feat,), self.param_dtype)
+            if self.use_bias:
+                y = y + self.param("bias", fnn.initializers.zeros,
+                                   (feat,), self.param_dtype)
+            return y.astype(self.dtype or x.dtype)
+
+    orig = fnn.BatchNorm
+    fnn.BatchNorm = _SubsetBN
+    try:
+        probe_train_step(bs, label=f" [bn-stats-rows={rows}]")
+    finally:
+        fnn.BatchNorm = orig
+
+
 def probe_vit_train(bs, fused_attention=False, fused_ffn=False,
                     tag_extra=""):
     """Full train step for the second flagship family (ViT-T/16 +
@@ -292,6 +361,9 @@ def probe_profile_encoder(bs):
 PROBES = {
     "train256": partial(probe_train_step, 256),
     "train256_remat": partial(probe_train_step, 256, remat=True),
+    "train256_bn64": partial(probe_train_step_bnrows, 256, 64),
+    "train256_bn32": partial(probe_train_step_bnrows, 256, 32),
+    "train256_bn256": partial(probe_train_step_bnrows, 256, 256),
     "train512": partial(probe_train_step, 512),
     "train1024": partial(probe_train_step, 1024),
     "b0_256": partial(probe_image_encoder, 256),
