@@ -116,8 +116,8 @@ class FusedSelfAttention(nn.Module):
             else:
                 seed = jnp.zeros((), jnp.int32)
             interpret = jax.default_backend() != "tpu"
-            o = mha_core(q, k, v, bias, seed, h,
-                         self.dropout_rate, train, interpret)
+            o = mha_core(q, k, v, bias, seed, h, self.dropout_rate, train,
+                         interpret, True, mask_rows is not None)
         else:
             o = self._einsum_fallback(q, k, v, bias, train, h, d)
         return _PackedOut(h, d, e, self.dtype, name="out")(o)

@@ -69,7 +69,7 @@ def _uniform(shape):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
                 *, heads: int, dropout_p: float, train: bool,
-                narrow: bool, block_b: int):
+                narrow: bool, block_b: int, has_bias: bool = True):
     # Each grid step handles ``block_b`` samples (statically unrolled): one
     # sample is only ~1 µs of compute, so per-program overhead dominates a
     # (B,)-grid — batching samples amortizes it and gives the scheduler
@@ -104,7 +104,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
                 s = jax.lax.dot_general(
                     q * mh, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (L, L) head-h
-            z = s * scale + bias
+            z = s * scale + bias if has_bias else s * scale
             m = jnp.max(z, axis=1, keepdims=True)
             p = jnp.exp(z - m)
             p = p / jnp.sum(p, axis=1, keepdims=True)
@@ -127,7 +127,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, db_ref,
                 *, heads: int, dropout_p: float, train: bool,
-                narrow: bool, block_b: int):
+                narrow: bool, block_b: int, has_bias: bool = True):
     base = pl.program_id(0) * block_b
     for i in range(block_b):
         # input dtype throughout the dots (see _fwd_kernel): bf16 inputs
@@ -166,7 +166,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
             s = jax.lax.dot_general(qm, kh if narrow else k,
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            z = s * scale + bias
+            z = s * scale + bias if has_bias else s * scale
             m = jnp.max(z, axis=1, keepdims=True)
             p = jnp.exp(z - m)
             p = p / jnp.sum(p, axis=1, keepdims=True)
@@ -182,7 +182,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
                 pd = p
                 dp = dpd
             dz = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-            db = db + jnp.sum(dz, axis=0, keepdims=True)
+            if has_bias:  # a zero bias needs no (L,L)->(1,L) reduce per head
+                db = db + jnp.sum(dz, axis=0, keepdims=True)
             ds = (dz * scale).astype(q.dtype)
             dq_h = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
@@ -238,10 +239,11 @@ def _specs(l, e, bb):
     return emb, bias, seed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def mha_core(q, k, v, bias_rows, seed,
              heads: int, dropout_p: float = 0.0, train: bool = False,
-             interpret: bool = False, narrow: bool = True):
+             interpret: bool = False, narrow: bool = True,
+             has_bias: bool = True):
     """Fused multi-head self-attention on packed (B, L, E) q/k/v.
 
     ``bias_rows``: (B, L) f32 additive pre-softmax key bias (0 for attend,
@@ -251,19 +253,23 @@ def mha_core(q, k, v, bias_rows, seed,
     heads with static lane slices so every matmul carries exactly the
     useful FLOPs; ``narrow=False`` uses the lane-mask full-width
     contractions (kept for comparison — see docs/PERF.md measurements).
+    ``has_bias=False`` declares ``bias_rows`` identically zero (the
+    unmasked image-encoder attention): the kernels then skip the per-head
+    (L, L) bias add in forward AND the per-head (L, L)->(1, L) bias-grad
+    reduction in backward, and the cotangent is zeros by construction.
     """
     return _mha_fwd(q, k, v, bias_rows, seed,
-                    heads, dropout_p, train, interpret, narrow)[0]
+                    heads, dropout_p, train, interpret, narrow, has_bias)[0]
 
 
 def _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train, interpret,
-             narrow=True):
+             narrow=True, has_bias=True):
     b, l, e = q.shape
     bb = _pick_block_b(b)
     emb, bias_spec, seed_spec = _specs(l, e, bb)
     kernel = functools.partial(_fwd_kernel, heads=heads,
                                dropout_p=dropout_p, train=train,
-                               narrow=narrow, block_b=bb)
+                               narrow=narrow, block_b=bb, has_bias=has_bias)
     o = pl.pallas_call(
         kernel,
         grid=(b // bb,),
@@ -276,14 +282,15 @@ def _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train, interpret,
     return o, (q, k, v, bias_rows, seed)
 
 
-def _mha_bwd(heads, dropout_p, train, interpret, narrow, residuals, g):
+def _mha_bwd(heads, dropout_p, train, interpret, narrow, has_bias,
+             residuals, g):
     q, k, v, bias_rows, seed = residuals
     b, l, e = q.shape
     bb = _pick_block_b(b)
     emb, bias_spec, seed_spec = _specs(l, e, bb)
     kernel = functools.partial(_bwd_kernel, heads=heads,
                                dropout_p=dropout_p, train=train,
-                               narrow=narrow, block_b=bb)
+                               narrow=narrow, block_b=bb, has_bias=has_bias)
     dq, dk, dv, db = pl.pallas_call(
         kernel,
         grid=(b // bb,),

@@ -226,7 +226,7 @@ def probe_vit_train_dpa(bs):
     orig = attn_mod.mha_core
 
     def dpa_core(q, k, v, bias, seed, heads, rate=0.0, train=False,
-                 interpret=False, narrow=True):
+                 interpret=False, narrow=True, has_bias=True):
         b, l, e = q.shape
         d = e // heads
         ab = bias[:, None, None, :]  # (B,1,1,Lk) additive pre-softmax

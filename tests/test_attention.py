@@ -48,6 +48,38 @@ def test_kernel_matches_reference_fwd(heads, l, e, narrow):
                                rtol=0.05, atol=0.05)
 
 
+@pytest.mark.parametrize("heads,l,e", [(3, 197, 192), (8, 64, 64)])
+def test_kernel_no_bias_specialization(heads, l, e):
+    """has_bias=False (the unmasked image-encoder attention) must equal the
+    bias path with zeros — fwd and q/k/v grads — and return a zero bias
+    cotangent without the per-head reduction."""
+    b = 2
+    q, k, v = _rand_qkv(b, l, e, dtype=jnp.float32)
+    zero_bias = jnp.zeros((b, l), jnp.float32)
+    seed = jnp.zeros((), jnp.int32)
+
+    out_nb = mha_core(q, k, v, zero_bias, seed, heads, 0.0, False, True,
+                      True, False)
+    out_b = mha_core(q, k, v, zero_bias, seed, heads, 0.0, False, True,
+                     True, True)
+    np.testing.assert_allclose(np.asarray(out_nb, np.float32),
+                               np.asarray(out_b, np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(q, k, v, bias, has_bias):
+        o = mha_core(q, k, v, bias, seed, heads, 0.0, False, True, True,
+                     has_bias)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_nb = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, zero_bias, False)
+    g_b = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, zero_bias, True)
+    for a, b_ in zip(g_nb[:3], g_b[:3]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(g_nb[3]), 0.0)
+
+
 @pytest.mark.parametrize("heads,l,e", [(8, 64, 64)])
 def test_kernel_matches_reference_grad(heads, l, e):
     b = 2
