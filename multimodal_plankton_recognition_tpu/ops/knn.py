@@ -108,7 +108,7 @@ class ANNClassifier:
     _PAD_VALUE = 1e15  # padded gallery rows sit astronomically far away
 
     def __init__(self, X: np.ndarray, y: np.ndarray, approx: bool = False,
-                 **nndescent_args) -> None:
+                 sharded: bool = False, mesh=None, **nndescent_args) -> None:
         self.y_ = np.asarray(y).copy()
         X = np.asarray(X, dtype=np.float32)
         self._n_gallery = X.shape[0]
@@ -116,8 +116,18 @@ class ANNClassifier:
         if pad:
             X = np.concatenate(
                 [X, np.full((pad, X.shape[1]), self._PAD_VALUE, np.float32)])
-        self._gallery = jnp.asarray(X)
         self._approx = approx
+        self._mesh = None
+        if sharded:
+            # pod-scale path: gallery rows sharded over the mesh's data
+            # axis; each device holds rows/n_devices of the gallery and of
+            # the distance matrix (parallel/knn.py)
+            from ..parallel import knn as pknn
+            from ..parallel.mesh import create_mesh
+            self._mesh = mesh if mesh is not None else create_mesh()
+            self._gallery = pknn.shard_gallery(X, self._mesh)
+        else:
+            self._gallery = jnp.asarray(X)
 
     def kneighbors(self, *X: np.ndarray, k: int = 1, **query_args):
         k = min(k, self._n_gallery)  # clamp to (real) gallery size
@@ -128,8 +138,13 @@ class ANNClassifier:
             pad = (-nq) % self.SHAPE_BUCKET
             if pad:
                 x = np.concatenate([x, np.zeros((pad, x.shape[1]), np.float32)])
-            idx, dist = _topk_euclidean(jnp.asarray(x), self._gallery, k=k,
-                                        approx=self._approx)
+            if self._mesh is not None:
+                from ..parallel import knn as pknn
+                idx, dist = pknn.sharded_topk_euclidean(
+                    x, self._gallery, k=k, mesh=self._mesh)
+            else:
+                idx, dist = _topk_euclidean(jnp.asarray(x), self._gallery,
+                                            k=k, approx=self._approx)
             out.append((np.asarray(idx[:nq]), np.asarray(dist[:nq])))
         return tuple(out)
 

@@ -1,0 +1,111 @@
+"""Pod-scale exact retrieval: gallery-sharded top-k over the device mesh.
+
+The single-chip retrieval path (ops/knn.py) replaces the reference's
+pynndescent index (reference: src/ann.py:6-34) with one MXU matmul +
+``jax.lax.top_k``. That design scales to galleries far beyond one chip's
+HBM by sharding the *gallery rows* across the mesh's data axis: each device
+scores the replicated query block against its local gallery shard and
+reduces to a local top-k candidate list; GSPMD then gathers the
+(queries, n_devices * k) candidate scores/global-indices over ICI — tiny
+compared to the (queries, gallery) distance matrix, which never
+materializes globally — for a replicated merge top-k. Exactness: the
+global top-k set is a subset of the union of per-shard top-k sets, so the
+merge loses nothing (distance ties may order differently than the
+single-device kernel; both orders are valid k-NN sets, and the virtual-mesh
+test asserts exact index equality on tie-free data).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, create_mesh
+
+#: padded gallery rows sit astronomically far from any real query
+#: (same convention as ops.knn.ANNClassifier._PAD_VALUE)
+_PAD_VALUE = 1e15
+
+
+def _local_scores(q: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Negated squared euclidean distances of q rows vs local gallery rows."""
+    q = q.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    gn = jnp.sum(g * g, axis=1)
+    return -(qn - 2.0 * (q @ g.T) + gn[None, :])
+
+
+def _local_candidates(q: jnp.ndarray, g: jnp.ndarray, kl: int, shard: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-device top-kl candidates as (scores, global row indices)."""
+    scores, lidx = jax.lax.top_k(_local_scores(q, g), kl)
+    gidx = lidx + jax.lax.axis_index(DATA_AXIS) * shard
+    return scores, gidx
+
+
+@partial(jax.jit, static_argnames=("k", "kl", "shard", "mesh"))
+def _sharded_topk(q, g, *, k: int, kl: int, shard: int, mesh: Mesh):
+    # per-shard scoring + local top-k under explicit shard_map; the merge
+    # runs outside it under GSPMD, which inserts the candidate gather
+    local = jax.shard_map(
+        partial(_local_candidates, kl=kl, shard=shard),
+        mesh=mesh, in_specs=(P(), P(DATA_AXIS, None)),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)))
+    scores, gidx = local(q, g)  # (nq, ndev*kl) candidates
+    best, pos = jax.lax.top_k(scores, k)
+    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    dist = jnp.sqrt(jnp.maximum(-best, 0.0))
+    rep = NamedSharding(mesh, P())
+    return (jax.lax.with_sharding_constraint(idx, rep),
+            jax.lax.with_sharding_constraint(dist, rep))
+
+
+def shard_gallery(gallery: np.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Pad gallery rows to the data-axis size and place them row-sharded.
+
+    The returned committed array can be passed to
+    :func:`sharded_topk_euclidean` repeatedly without re-transfer.
+    """
+    ndev = mesh.shape[DATA_AXIS]
+    pad = (-gallery.shape[0]) % ndev
+    if pad:
+        gallery = np.concatenate([
+            np.asarray(gallery, np.float32),
+            np.full((pad, gallery.shape[1]), _PAD_VALUE, np.float32)])
+    return jax.device_put(jnp.asarray(gallery, jnp.float32),
+                          NamedSharding(mesh, P(DATA_AXIS, None)))
+
+
+def sharded_topk_euclidean(queries, gallery, k: int,
+                           mesh: Optional[Mesh] = None,
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Indices & euclidean distances of the k nearest gallery rows, with the
+    gallery row-sharded over ``mesh``'s data axis.
+
+    Matches ops.knn._topk_euclidean (up to distance-tie ordering) while
+    holding only ``rows/n_devices`` of the gallery — and of the distance
+    matrix — per device. Queries are replicated; results are replicated.
+    ``gallery`` may be host numpy or the committed array from
+    :func:`shard_gallery` (preferred for repeated queries).
+    """
+    mesh = mesh if mesh is not None else create_mesh()
+    if not isinstance(gallery, jax.Array):
+        gallery = shard_gallery(np.asarray(gallery), mesh)
+    n = gallery.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} exceeds gallery size {n}")
+    ndev = mesh.shape[DATA_AXIS]
+    shard = n // ndev
+    kl = min(k, shard)  # per-shard candidates; ndev*kl >= k since k <= n
+    queries = jax.device_put(
+        jnp.asarray(np.asarray(queries), jnp.float32),
+        NamedSharding(mesh, P()))
+    idx, dist = _sharded_topk(queries, gallery, k=k, kl=kl, shard=shard,
+                              mesh=mesh)
+    return np.asarray(idx), np.asarray(dist)

@@ -1,0 +1,70 @@
+"""Gallery-sharded exact kNN (parallel/knn.py) vs the single-device kernel,
+on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_plankton_recognition_tpu.ops.knn import (
+    ANNClassifier, _topk_euclidean,
+)
+from multimodal_plankton_recognition_tpu.parallel import create_mesh
+from multimodal_plankton_recognition_tpu.parallel.knn import (
+    shard_gallery, sharded_topk_euclidean,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    return create_mesh()
+
+
+def _data(n_gallery=1000, n_query=37, dim=64, seed=0):
+    rng = np.random.default_rng(seed)
+    g = rng.normal(size=(n_gallery, dim)).astype(np.float32)
+    q = rng.normal(size=(n_query, dim)).astype(np.float32)
+    return g, q
+
+
+@pytest.mark.parametrize("k", [1, 9, 200])
+def test_matches_single_device(mesh, k):
+    # k=9 < shard size (125) exercises the candidate merge; k=200 > shard
+    # size exercises the kl-clamped path where every shard contributes all
+    # of its rows
+    g, q = _data()
+    idx_s, d_s = sharded_topk_euclidean(q, g, k=k, mesh=mesh)
+    idx_r, d_r = _topk_euclidean(q, g, k=k)
+    np.testing.assert_array_equal(idx_s, np.asarray(idx_r))
+    np.testing.assert_allclose(d_s, np.asarray(d_r), atol=1e-5)
+
+
+def test_uneven_gallery_pad(mesh):
+    # 1003 rows % 8 != 0: shard_gallery pads with far-away rows which must
+    # never be selected
+    g, q = _data(n_gallery=1003)
+    idx_s, d_s = sharded_topk_euclidean(q, g, k=31, mesh=mesh)
+    assert idx_s.max() < 1003
+    idx_r, d_r = _topk_euclidean(q, g, k=31)
+    np.testing.assert_array_equal(idx_s, np.asarray(idx_r))
+
+
+def test_gallery_is_row_sharded(mesh):
+    g, _ = _data()
+    gal = shard_gallery(g, mesh)
+    # each device holds 1/8 of the rows, all columns
+    shard_shape = gal.sharding.shard_shape(gal.shape)
+    assert shard_shape == (gal.shape[0] // 8, g.shape[1])
+
+
+def test_ann_classifier_sharded_predictions(mesh):
+    g, q = _data(n_gallery=400, n_query=50)
+    y = np.arange(400) % 7
+    ref = ANNClassifier(g, y)
+    sh = ANNClassifier(g, y, sharded=True, mesh=mesh)
+    for k in (1, 3, 9):
+        np.testing.assert_array_equal(sh.predict(q, k=k), ref.predict(q, k=k))
+    # the multimodal h-stack fusion path (reference: src/ann.py:15-21)
+    q2 = _data(n_query=50, seed=1)[1]
+    np.testing.assert_array_equal(
+        sh.predict(q, q2, k=3), ref.predict(q, q2, k=3))
