@@ -64,6 +64,21 @@ _ANN_KWARGS = dict(n_neighbors=32, metric="euclidean", diversify_prob=0.0,
                    pruning_degree_multiplier=3.0, low_memory=False,
                    random_state=0)
 
+#: when True, galleries are row-sharded over the device mesh's data axis
+#: (parallel/knn.py) — exact same predictions, pod-scale gallery memory
+_SHARDED = False
+
+
+def set_sharded_retrieval(enabled: bool = True) -> None:
+    """Toggle gallery sharding for all subsequently built classifiers
+    (the benchmark CLIs' ``--sharded`` flag)."""
+    global _SHARDED
+    _SHARDED = enabled
+
+
+def _make_classifier(X: np.ndarray, y: np.ndarray) -> ANNClassifier:
+    return ANNClassifier(X, y, sharded=_SHARDED, **_ANN_KWARGS)
+
 
 def _fused_run(image_train, profile_train, label_train, X_test, coder,
                label_test, K: Sequence[int]) -> Dict:
@@ -72,7 +87,7 @@ def _fused_run(image_train, profile_train, label_train, X_test, coder,
     modalities (reference: benchmark_raw.py:33-48)."""
     X_train = np.concatenate((image_train, profile_train))
     y_train = np.tile(label_train, (2,))
-    predictor = ANNClassifier(X_train, y_train, **_ANN_KWARGS)
+    predictor = _make_classifier(X_train, y_train)
     preds = predictor.predict_many(*X_test, ks=tuple(K), epsilon=0.3)
     out = {k: coder.inverse_transform(p) for k, p in preds.items()}
     return {"pred": out, "true": coder.inverse_transform(label_test)}
@@ -125,16 +140,16 @@ def _cross_run(image_g, profile_g, label_g, image_q, profile_q, label_q,
             for k, pred in many.items():
                 preds[k][key] = coder.inverse_transform(pred)
 
-    p_img = ANNClassifier(image_g, label_g, **_ANN_KWARGS)
+    p_img = _make_classifier(image_g, label_g)
     _predict(p_img, ("I - I", "I - P", "I - I+P"),
              ((image_q,), (profile_q,), (image_q, profile_q)))
 
-    p_prof = ANNClassifier(profile_g, label_g, **_ANN_KWARGS)
+    p_prof = _make_classifier(profile_g, label_g)
     _predict(p_prof, ("P - I", "P - P", "P - I+P"),
              ((image_q,), (profile_q,), (image_q, profile_q)))
 
-    p_both = ANNClassifier(np.concatenate((image_g, profile_g)),
-                           np.tile(label_g, (2,)), **_ANN_KWARGS)
+    p_both = _make_classifier(np.concatenate((image_g, profile_g)),
+                             np.tile(label_g, (2,)))
     _predict(p_both, ("I+P - I", "I+P - P"), ((image_q,), (profile_q,)))
 
     return {"pred": preds, "true": coder.inverse_transform(label_q)}
@@ -172,11 +187,13 @@ def benchmark_cross_folds(train, test, coder, n: int, repeats: int,
 
 def run_suite(embeddings: Dict, mode: str, N: Sequence[int],
               K: Sequence[int], repeats: int, th: int = 20,
-              seed: int = 0, progress: bool = False) -> Dict:
+              seed: int = 0, progress: bool = False,
+              sharded: bool = False) -> Dict:
     """Drive a full benchmark over an embeddings pickle
     (reference: benchmark_raw.py main())."""
     from ..utils import LabelVocab
 
+    set_sharded_retrieval(sharded)
     key_ = next(iter(embeddings))
     first_fold = next(iter(embeddings[key_].values()))
     # vocabulary = stored checkpoint classes UNION every label present in the

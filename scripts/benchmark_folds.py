@@ -25,6 +25,10 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--threshold", type=int, default=20,
                         help="drop classes with fewer samples than this")
+    parser.add_argument("--sharded", action="store_true",
+                        help="Row-shard galleries over the device mesh "
+                             "(exact same predictions; pod-scale gallery "
+                             "memory)")
     args = parser.parse_args()
 
     with open(args.embeddings, "rb") as buf:
@@ -32,7 +36,7 @@ def main() -> None:
 
     results = run_suite(embeddings, mode="folds", N=N, K=K,
                         repeats=args.repeats, th=args.threshold,
-                        seed=args.seed, progress=True)
+                        seed=args.seed, progress=True, sharded=args.sharded)
     with open(args.output, "wb") as buf:
         pickle.dump(results, buf)
 

@@ -25,13 +25,15 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=REPEATS)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--threshold", type=int, default=TH)
+    parser.add_argument("--sharded", action="store_true",
+                        help="Row-shard galleries over the device mesh (exact same predictions; pod-scale gallery memory)")
     args = parser.parse_args()
 
     with open(args.embeddings, "rb") as buf:
         embeddings = pickle.load(buf)
 
     results = run_suite(embeddings, mode="raw", N=N, K=K,
-                        repeats=args.repeats, th=args.threshold, seed=args.seed,
+                        repeats=args.repeats, th=args.threshold, seed=args.seed, sharded=args.sharded,
                         progress=True)
     with open(args.output, "wb") as buf:
         pickle.dump(results, buf)

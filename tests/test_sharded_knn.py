@@ -57,6 +57,34 @@ def test_gallery_is_row_sharded(mesh):
     assert shard_shape == (gal.shape[0] // 8, g.shape[1])
 
 
+def test_run_suite_sharded_matches_default(mesh):
+    # the benchmark CLIs' --sharded flag: identical result pickles
+    from multimodal_plankton_recognition_tpu.retrieval.benchmark import (
+        run_suite, set_sharded_retrieval,
+    )
+    rng = np.random.default_rng(3)
+    n = 60
+    labels = np.array([f"c{i % 3}" for i in range(n)])
+    entry = {
+        "image": rng.normal(size=(n, 16)).astype(np.float32),
+        "profile": rng.normal(size=(n, 16)).astype(np.float32),
+        "label": labels, "classes": np.unique(labels),
+    }
+    emb = {"tiny": {1: entry}}
+    kwargs = dict(mode="cross", N=(2,), K=(1, 3), repeats=2, th=4, seed=0)
+    try:
+        ref = run_suite(emb, **kwargs)
+        sh = run_suite(emb, sharded=True, **kwargs)
+    finally:
+        set_sharded_retrieval(False)
+    for run in (0, 1):
+        r, s = ref["tiny"][1][2][run], sh["tiny"][1][2][run]
+        np.testing.assert_array_equal(r["true"], s["true"])
+        for k in (1, 3):
+            for setup, pred in r["pred"][k].items():
+                np.testing.assert_array_equal(pred, s["pred"][k][setup])
+
+
 def test_ann_classifier_sharded_predictions(mesh):
     g, q = _data(n_gallery=400, n_query=50)
     y = np.arange(400) % 7
