@@ -57,6 +57,19 @@ def test_gallery_is_row_sharded(mesh):
     assert shard_shape == (gal.shape[0] // 8, g.shape[1])
 
 
+def test_batch_sharded_queries_gspmd(mesh):
+    # the inverse decomposition (huge query sets, gallery replicated):
+    # the single-chip kernel already handles data-sharded query batches
+    # under GSPMD — no collectives needed, each chip scores its query rows
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    g, q = _data(n_query=64)
+    qs = jax.device_put(q, NamedSharding(mesh, P("data")))
+    idx_s, d_s = _topk_euclidean(qs, g, k=9)
+    idx_r, d_r = _topk_euclidean(q, g, k=9)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_r), atol=1e-5)
+
+
 def test_run_suite_sharded_matches_default(mesh):
     # the benchmark CLIs' --sharded flag: identical result pickles
     from multimodal_plankton_recognition_tpu.retrieval.benchmark import (
