@@ -259,10 +259,14 @@ def probe_vit_train_bf16ln(bs):
         nn.LayerNorm = orig
 
 
-def probe_encode(which, bs):
+def probe_encode(which, bs, int8=False):
     """Inference/serving path: jitted eval-mode MultiModel.encode (the
     retrieval/encode.py hot loop) — pairs/s at eval batch ``bs``.
-    Measurement body shared with bench.py via flagships.encode_scan."""
+    Measurement body shared with bench.py via flagships.encode_scan.
+    ``int8=True`` traces every nn.Dense through the W8A8 interceptor
+    (ops/quant.py) — the quantized-serving candidate path."""
+    import contextlib
+
     import jax
 
     from multimodal_plankton_recognition_tpu.models.flagships import (
@@ -278,8 +282,17 @@ def probe_encode(which, bs):
                            **batch)
     run_k = encode_scan(model, K)
 
-    dt = _time_scan(run_k, variables, batch)
-    print(f"encode[{which}] bs={bs}: {dt / K * 1e3:.2f} ms/batch, "
+    if int8:
+        from multimodal_plankton_recognition_tpu.ops.quant import (
+            quantized_dense,
+        )
+        ctx = quantized_dense()
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:  # interceptors rewrite the apply at trace time
+        dt = _time_scan(run_k, variables, batch)
+    tag = " int8" if int8 else ""
+    print(f"encode[{which}{tag}] bs={bs}: {dt / K * 1e3:.2f} ms/batch, "
           f"{bs * K / dt:,.0f} pairs/s", flush=True)
 
 
@@ -384,6 +397,7 @@ PROBES = {
     "vit_train256_bf16ln": partial(probe_vit_train_bf16ln, 256),
     "encode_b0_256": partial(probe_encode, "b0", 256),
     "encode_vit_256": partial(probe_encode, "vit", 256),
+    "encode_vit_256_int8": partial(probe_encode, "vit", 256, int8=True),
     "vit_train512": partial(probe_vit_train, 512),
     "vit_train1024": partial(probe_vit_train, 1024),
     "cnn_256": partial(probe_profile_encoder, 256),
