@@ -76,7 +76,9 @@ def dense_int8(module, x: jnp.ndarray) -> jnp.ndarray:
     if module.use_bias:
         bias = module.get_variable("params", "bias")
         y = y + bias.astype(jnp.float32)
-    return y.astype(module.dtype or y.dtype)
+    # flax Dense with dtype=None infers from the input; match that so the
+    # interceptor does not silently widen downstream dtypes
+    return y.astype(module.dtype or x.dtype)
 
 
 @contextlib.contextmanager
