@@ -42,6 +42,11 @@ import time
 import numpy as np
 
 A100_BASELINE_PAIRS_PER_SEC = 2000.0
+#: the A100 denominator is a recalled ESTIMATE (zero egress, no NVIDIA
+#: hardware — BASELINE.md:69-103 brackets it +/-25%); every vs_baseline
+#: claim carries that band, so the record prints the range alongside the
+#: point estimate (VERDICT r3 #7)
+A100_BASELINE_UNCERTAINTY = 0.25
 
 #: (bf16 peak TFLOP/s, HBM GB/s) per chip by device_kind substring
 #: (public TPU specs)
@@ -195,6 +200,14 @@ def main() -> None:
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
+        # [low, high] from the +/-25% band on the estimated A100 denominator:
+        # low divides by the optimistic (fast) A100, high by the pessimistic
+        "vs_baseline_range": [
+            round(pairs_per_sec / (A100_BASELINE_PAIRS_PER_SEC
+                                   * (1 + A100_BASELINE_UNCERTAINTY)), 3),
+            round(pairs_per_sec / (A100_BASELINE_PAIRS_PER_SEC
+                                   * (1 - A100_BASELINE_UNCERTAINTY)), 3),
+        ],
         "flops_per_pair": round(flops_per_pair),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "hbm_bytes_per_pair": round(bytes_per_pair),
@@ -290,16 +303,23 @@ def _main_with_retry(attempts: int = None, wait_s: int = None) -> None:
             # record (value null — NOT a measurement) pointing at the last
             # real on-hardware result, instead of a bare stack trace
             last = None
-            for prev in ("BENCH_r02.json", "BENCH_r01.json"):
-                p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 prev)
-                if os.path.exists(p):
-                    try:
-                        with open(p) as f:
-                            last = {"file": prev, "record": json.load(f)}
-                    except Exception:
-                        pass
+            import glob as _glob
+            import re as _re
+
+            def _round_no(path):
+                m = _re.search(r"BENCH_r(\d+)\.json$", path)
+                return int(m.group(1)) if m else -1
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            for p in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")),
+                            key=_round_no, reverse=True):
+                try:
+                    with open(p) as f:
+                        last = {"file": os.path.basename(p),
+                                "record": json.load(f)}
                     break
+                except Exception:
+                    continue
             print(json.dumps({
                 "metric": "pretrain_pairs_per_sec_per_chip",
                 "value": None, "unit": "pairs/s", "vs_baseline": None,

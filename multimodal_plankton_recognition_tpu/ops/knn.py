@@ -67,12 +67,24 @@ def weighted_mode_device(classes: jnp.ndarray, weights: jnp.ndarray,
     return jnp.argmax(votes, axis=1), votes
 
 
-def inverse_distance_weights(dist: jnp.ndarray) -> jnp.ndarray:
+def inverse_distance_weights(dist: jnp.ndarray,
+                             exact_eps: float = 0.0) -> jnp.ndarray:
     """Jittable inverse-distance weights with the reference's exact-hit
     rule (reference: src/ann.py:28-34): when any neighbor distance is 0,
     the zero-distance neighbors get all the mass (weight 1) and the rest
-    none. Mirrors :meth:`ANNClassifier._get_weights`."""
-    w = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, 1e-38), jnp.inf)
+    none. Mirrors :meth:`ANNClassifier._get_weights`.
+
+    ``exact_eps`` widens the exact-hit rule to ``dist <= exact_eps`` for
+    the serving artifact (retrieval/export.py): the exported StableHLO
+    lowering can differ from the jit that built the gallery by ~1e-6 in
+    the embeddings, so a query that IS a gallery member lands at d~1e-6,
+    not 0, and the ==0 rule silently never fires cross-lowering. Queries
+    arrive as raw (image, profile) inputs, so self-hits cannot be
+    identified by gallery row id — a distance tolerance far below any
+    genuine inter-sample distance (L2-normalized embeddings) but far above
+    lowering noise is the robust equivalent. Default 0.0 keeps the
+    reference's bit-exact semantics for the in-process classifier."""
+    w = jnp.where(dist > exact_eps, 1.0 / jnp.maximum(dist, 1e-38), jnp.inf)
     inf_mask = jnp.isinf(w)
     inf_row = jnp.any(inf_mask, axis=1, keepdims=True)
     return jnp.where(inf_row, inf_mask.astype(w.dtype), w)
@@ -157,7 +169,7 @@ class ANNClassifier:
         query per modality (exact top-k lists are sorted by distance, so the
         k-NN set is a prefix of the max-k set). Avoids re-running — and on
         TPU re-compiling — the retrieval for every k."""
-        kmax = min(max(ks), self._gallery.shape[0])
+        kmax = min(max(ks), self._n_gallery)
         neighbors = self.kneighbors(*X, k=kmax, **query_args)
         out = {}
         for k in ks:

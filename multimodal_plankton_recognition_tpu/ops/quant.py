@@ -73,12 +73,17 @@ def dense_int8(module, x: jnp.ndarray) -> jnp.ndarray:
     kernel = module.get_variable("params", "kernel")
     w8, w_scale = quantize_per_channel(kernel, axis=0)
     y = int8_matmul(x, w8, w_scale)
+    promote = [x.dtype, kernel.dtype]
     if module.use_bias:
         bias = module.get_variable("params", "bias")
         y = y + bias.astype(jnp.float32)
-    # flax Dense with dtype=None infers from the input; match that so the
-    # interceptor does not silently widen downstream dtypes
-    return y.astype(module.dtype or x.dtype)
+        promote.append(bias.dtype)
+    # flax Dense with dtype=None promotes across input/kernel/bias
+    # (bf16 x + f32 params -> f32); match that promotion so the interceptor
+    # never narrows downstream dtypes relative to the bf16 path
+    out_dtype = module.dtype if module.dtype is not None \
+        else jnp.result_type(*promote)
+    return y.astype(out_dtype)
 
 
 @contextlib.contextmanager

@@ -1,9 +1,9 @@
 from .mesh import create_mesh, batch_sharding, replicated_sharding, shard_batch
 from .contrastive import global_clip_loss, global_siglip_loss
-from .knn import shard_gallery, sharded_topk_euclidean
+from .knn import ShardedGallery, shard_gallery, sharded_topk_euclidean
 
 __all__ = [
     "create_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
     "global_clip_loss", "global_siglip_loss",
-    "shard_gallery", "sharded_topk_euclidean",
+    "ShardedGallery", "shard_gallery", "sharded_topk_euclidean",
 ]

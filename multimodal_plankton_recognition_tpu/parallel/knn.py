@@ -18,7 +18,7 @@ test asserts exact index equality on tie-free data).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -66,24 +66,42 @@ def _sharded_topk(q, g, *, k: int, kl: int, shard: int, mesh: Mesh):
             jax.lax.with_sharding_constraint(dist, rep))
 
 
-def shard_gallery(gallery: np.ndarray, mesh: Mesh) -> jnp.ndarray:
+class ShardedGallery(NamedTuple):
+    """A row-sharded, pad-aligned gallery plus its REAL (unpadded) row count.
+
+    Carrying ``n_real`` lets :func:`sharded_topk_euclidean` validate ``k``
+    against the true gallery size rather than the padded one, so a caller
+    can never silently receive ``_PAD_VALUE`` sentinel rows as neighbors.
+    """
+
+    rows: jnp.ndarray  #: (padded_rows, dim), sharded P(DATA_AXIS, None)
+    n_real: int
+
+
+def shard_gallery(gallery: np.ndarray, mesh: Mesh) -> ShardedGallery:
     """Pad gallery rows to the data-axis size and place them row-sharded.
 
-    The returned committed array can be passed to
+    The returned :class:`ShardedGallery` can be passed to
     :func:`sharded_topk_euclidean` repeatedly without re-transfer.
     """
     ndev = mesh.shape[DATA_AXIS]
-    pad = (-gallery.shape[0]) % ndev
+    n_real = gallery.shape[0]
+    pad = (-n_real) % ndev
     if pad:
         gallery = np.concatenate([
             np.asarray(gallery, np.float32),
             np.full((pad, gallery.shape[1]), _PAD_VALUE, np.float32)])
-    return jax.device_put(jnp.asarray(gallery, jnp.float32),
+    rows = jax.device_put(jnp.asarray(gallery, jnp.float32),
                           NamedSharding(mesh, P(DATA_AXIS, None)))
+    return ShardedGallery(rows, n_real)
 
 
-def sharded_topk_euclidean(queries, gallery, k: int,
+def sharded_topk_euclidean(queries,
+                           gallery: Union[np.ndarray, jax.Array,
+                                          "ShardedGallery"],
+                           k: int,
                            mesh: Optional[Mesh] = None,
+                           n_real: Optional[int] = None,
                            ) -> Tuple[np.ndarray, np.ndarray]:
     """Indices & euclidean distances of the k nearest gallery rows, with the
     gallery row-sharded over ``mesh``'s data axis.
@@ -91,15 +109,21 @@ def sharded_topk_euclidean(queries, gallery, k: int,
     Matches ops.knn._topk_euclidean (up to distance-tie ordering) while
     holding only ``rows/n_devices`` of the gallery — and of the distance
     matrix — per device. Queries are replicated; results are replicated.
-    ``gallery`` may be host numpy or the committed array from
-    :func:`shard_gallery` (preferred for repeated queries).
+    ``gallery`` may be host numpy, the :class:`ShardedGallery` from
+    :func:`shard_gallery` (preferred for repeated queries), or a bare
+    pre-sharded ``jax.Array`` (then pass ``n_real`` if the array carries
+    pad rows, else the padded size is assumed real).
     """
     mesh = mesh if mesh is not None else create_mesh()
-    if not isinstance(gallery, jax.Array):
-        gallery = shard_gallery(np.asarray(gallery), mesh)
+    if isinstance(gallery, ShardedGallery):
+        gallery, n_real = gallery.rows, gallery.n_real
+    elif not isinstance(gallery, jax.Array):
+        gallery, n_real = shard_gallery(np.asarray(gallery), mesh)
+    elif n_real is None:
+        n_real = gallery.shape[0]
+    if k > n_real:
+        raise ValueError(f"k={k} exceeds gallery size {n_real}")
     n = gallery.shape[0]
-    if k > n:
-        raise ValueError(f"k={k} exceeds gallery size {n}")
     ndev = mesh.shape[DATA_AXIS]
     shard = n // ndev
     kl = min(k, shard)  # per-shard candidates; ndev*kl >= k since k <= n

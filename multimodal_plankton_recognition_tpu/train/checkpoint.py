@@ -37,6 +37,16 @@ def _restore_host(directory: Path | str, step: int) -> Dict[str, Any]:
     import jax
 
     path = Path(directory) / str(step) / "default"
+    if not path.exists():
+        # coupled to orbax's CheckpointManager on-disk layout
+        # (<dir>/<step>/default); fail loudly if a future orbax changes it
+        # rather than producing a confusing metadata error downstream
+        step_dir = Path(directory) / str(step)
+        raise FileNotFoundError(
+            f"orbax item dir {path} not found; step dir contains "
+            f"{sorted(p.name for p in step_dir.iterdir()) if step_dir.exists() else 'nothing'} "
+            "— the installed orbax may use a different on-disk layout than "
+            "the pinned version this restore path was written against")
     ckptr = ocp.PyTreeCheckpointer()
     tree = ckptr.metadata(path).item_metadata.tree
     restore_args = jax.tree.map(

@@ -26,7 +26,10 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--threshold", type=int, default=TH)
     parser.add_argument("--sharded", action="store_true",
-                        help="Row-shard galleries over the device mesh (exact same predictions; pod-scale gallery memory)")
+                        help="Row-shard galleries over the device mesh "
+                             "(exact k-NN set; distance-tie ordering may "
+                             "differ from the single-device kernel; "
+                             "pod-scale gallery memory)")
     args = parser.parse_args()
 
     with open(args.embeddings, "rb") as buf:

@@ -27,8 +27,9 @@ def main() -> None:
                         help="drop classes with fewer samples than this")
     parser.add_argument("--sharded", action="store_true",
                         help="Row-shard galleries over the device mesh "
-                             "(exact same predictions; pod-scale gallery "
-                             "memory)")
+                             "(exact k-NN set; distance-tie ordering may "
+                             "differ from the single-device kernel; "
+                             "pod-scale gallery memory)")
     args = parser.parse_args()
 
     with open(args.embeddings, "rb") as buf:

@@ -52,9 +52,25 @@ def test_uneven_gallery_pad(mesh):
 def test_gallery_is_row_sharded(mesh):
     g, _ = _data()
     gal = shard_gallery(g, mesh)
+    assert gal.n_real == g.shape[0]
     # each device holds 1/8 of the rows, all columns
-    shard_shape = gal.sharding.shard_shape(gal.shape)
-    assert shard_shape == (gal.shape[0] // 8, g.shape[1])
+    shard_shape = gal.rows.sharding.shard_shape(gal.rows.shape)
+    assert shard_shape == (gal.rows.shape[0] // 8, g.shape[1])
+
+
+def test_k_validated_against_real_rows(mesh):
+    # 1001 rows pad to 1008; k in (1001, 1008] must raise, not silently
+    # return _PAD_VALUE sentinel rows as neighbors
+    g, q = _data(n_gallery=1001)
+    gal = shard_gallery(g, mesh)
+    with pytest.raises(ValueError, match="exceeds gallery size 1001"):
+        sharded_topk_euclidean(q, gal, k=1004, mesh=mesh)
+    # a bare pre-sharded jax.Array with an explicit n_real gets the same check
+    with pytest.raises(ValueError, match="exceeds gallery size 1001"):
+        sharded_topk_euclidean(q, gal.rows, k=1004, mesh=mesh, n_real=1001)
+    # k == n_real is legal and must exclude the pad rows
+    idx, _ = sharded_topk_euclidean(q[:3], gal, k=1001, mesh=mesh)
+    assert idx.max() < 1001
 
 
 def test_batch_sharded_queries_gspmd(mesh):
