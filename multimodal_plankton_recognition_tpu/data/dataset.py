@@ -14,9 +14,7 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 import pandas as pd
-from PIL import Image
-
-from .profile_io import load_profile_csv
+from .profile_io import load_image, load_profile_csv
 
 
 class MultiSet:
@@ -52,7 +50,7 @@ class MultiSet:
 
     def __getitem__(self, index: int,
                     rng: Optional[np.random.Generator] = None) -> Dict:
-        image = Image.open(self.parent / self.table["image"].iloc[index])
+        image = load_image(self.parent / self.table["image"].iloc[index])
         profile = load_profile_csv(self.parent / self.table["profile"].iloc[index])
 
         # original (height, width), as torch `image.size[::-1]` (src/data.py:46)

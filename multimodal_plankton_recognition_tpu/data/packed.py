@@ -84,10 +84,9 @@ def pack_split(annotation_path: Path | str, target_size: int,
     """Materialize the packed cache for one split CSV. The split kind is
     the file stem: ``train`` packs the oversize train prefix, anything else
     packs the deterministic eval output."""
-    from PIL import Image
     import pandas as pd
 
-    from .profile_io import load_profile_csv
+    from .profile_io import load_image, load_profile_csv
 
     annotation_path = Path(annotation_path)
     train = annotation_path.stem == "train"
@@ -115,7 +114,7 @@ def pack_split(annotation_path: Path | str, target_size: int,
     shapes = np.zeros((n, 2), np.int32)
     lens = np.zeros((n, 1), np.int32)
     for i in range(n):
-        img = Image.open(parent / table["image"].iloc[i])
+        img = load_image(parent / table["image"].iloc[i])
         shapes[i] = (img.height, img.width)
         # the shared uint8 prefix of both image transforms: grayscale,
         # scale-bar crop, LANCZOS+edge resize — the float tail

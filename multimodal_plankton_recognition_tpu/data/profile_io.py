@@ -1,16 +1,20 @@
-"""Fast pulse-shape profile CSV reader.
+"""Fast host-side IO: profile CSV parsing + JPEG decode.
 
-The reference loads each per-particle profile with ``np.loadtxt`` in the
-DataLoader hot path (reference: src/data.py:43) — the dominant input cost.
-Profiles are small (tens to a few thousand rows x 6 float columns, one
-header line), so we parse with a native C parser when the bundled C++
-extension is built (see native/), falling back to ``numpy.genfromtxt``-free
-pure-Python parsing that is still ~5x faster than ``np.loadtxt``.
+The reference loads each per-particle profile with ``np.loadtxt`` and each
+image with PIL in the DataLoader hot path (reference: src/data.py:42-43) —
+the dominant input cost. Profiles are small (tens to a few thousand rows x
+6 float columns, one header line), so we parse with a native C parser when
+the bundled C++ extension is built (see native/), falling back to
+``numpy.genfromtxt``-free pure-Python parsing that is still ~5x faster
+than ``np.loadtxt``. Images decode through the same library's
+libjpeg(-turbo) entry points (JDCT_ISLOW — bit-identical pixels to PIL's
+default decode of the same libjpeg), falling back to ``PIL.Image.open``.
 """
 
 from __future__ import annotations
 
 import ctypes
+import io
 import os
 from pathlib import Path
 
@@ -20,7 +24,7 @@ _NATIVE = None
 
 
 def _load_native():
-    """Load the optional native CSV parser (native/libplankton_io.so)."""
+    """Load the optional native IO library (native/libplankton_io.so)."""
     global _NATIVE
     if _NATIVE is not None:
         return _NATIVE
@@ -38,9 +42,22 @@ def _load_native():
                     ctypes.c_int64,       # out capacity (floats)
                     ctypes.POINTER(ctypes.c_int64),  # n_cols out
                 ]
+                if hasattr(lib, "decode_jpeg"):  # older .so builds lack it
+                    lib.decode_jpeg_info.restype = ctypes.c_int32
+                    lib.decode_jpeg_info.argtypes = [
+                        ctypes.c_char_p, ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                    ]
+                    lib.decode_jpeg.restype = ctypes.c_int64
+                    lib.decode_jpeg.argtypes = [
+                        ctypes.c_char_p, ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int64,
+                    ]
                 _NATIVE = lib
                 return lib
-            except OSError:
+            except (OSError, AttributeError):
                 continue
     _NATIVE = False
     return False
@@ -80,3 +97,41 @@ def load_profile_csv(path: Path | str) -> np.ndarray:
         if n >= 0 and ncols.value > 0:
             return out[:n].reshape(-1, ncols.value).copy()
     return _parse_python(data.decode("utf-8", errors="replace"))
+
+
+#: JPEG magic prefix (the native decoder only handles JPEG; PNG etc. fall
+#: back to PIL)
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def load_image(path: Path | str):
+    """Open an image for the input pipeline: native libjpeg decode when the
+    extension is built (decode is ~24% of per-sample host cost and the
+    whole one-off pack cost, docs/PERF.md), PIL otherwise. Returns a
+    ``PIL.Image`` either way — the transform chain keeps PIL's LANCZOS
+    resize semantics (reference: src/data.py:42, 278-299); pixels are
+    bit-identical between the two decoders (JDCT_ISLOW, tested)."""
+    from PIL import Image
+
+    with open(path, "rb") as f:
+        data = f.read()
+    lib = _load_native()
+    if lib and hasattr(lib, "decode_jpeg") and data[:3] == _JPEG_MAGIC:
+        w = ctypes.c_int32(0)
+        h = ctypes.c_int32(0)
+        ch = ctypes.c_int32(0)
+        if lib.decode_jpeg_info(data, len(data), ctypes.byref(w),
+                                ctypes.byref(h), ctypes.byref(ch)) == 0 \
+                and ch.value in (1, 3):
+            need = h.value * w.value * ch.value
+            out = np.empty(need, dtype=np.uint8)
+            n = lib.decode_jpeg(
+                data, len(data),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), need)
+            if n == need:
+                if ch.value == 1:
+                    arr = out.reshape(h.value, w.value)
+                    return Image.fromarray(arr, mode="L")
+                arr = out.reshape(h.value, w.value, 3)
+                return Image.fromarray(arr, mode="RGB")
+    return Image.open(io.BytesIO(data))

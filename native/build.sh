@@ -4,5 +4,5 @@
 set -euo pipefail
 cd "$(dirname "$0")"
 g++ -O3 -march=native -std=c++17 -shared -fPIC \
-    plankton_io.cpp -o libplankton_io.so
+    plankton_io.cpp -o libplankton_io.so -ljpeg
 echo "built $(pwd)/libplankton_io.so"

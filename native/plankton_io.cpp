@@ -6,13 +6,105 @@
 // dominates the reference's input cost. Uses std::from_chars (no locale, no
 // allocation) over the raw file buffer.
 //
-// Build: see native/build.sh (g++ -O3 -shared -fPIC).
+// decode_jpeg_info / decode_jpeg: libjpeg(-turbo) decode of the microscope
+// crops, replacing the PIL decode (reference: src/data.py:42) in the
+// DataLoader and dataset-pack paths (decode is ~24% of per-sample host
+// cost and the whole one-off pack cost, docs/PERF.md). JDCT_ISLOW keeps
+// the pixels bit-identical to PIL's default decode of the same libjpeg.
+//
+// Build: see native/build.sh (g++ -O3 -shared -fPIC -ljpeg).
 
 #include <charconv>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 
+#include <jpeglib.h>
+
+namespace {
+
+struct ErrMgr {
+    jpeg_error_mgr pub;
+    std::jmp_buf jb;
+};
+
+void err_exit(j_common_ptr cinfo) {
+    ErrMgr* err = reinterpret_cast<ErrMgr*>(cinfo->err);
+    std::longjmp(err->jb, 1);
+}
+
+void emit_silent(j_common_ptr, int) {}
+
+}  // namespace
+
 extern "C" {
+
+// Parse the JPEG header in `buf`: writes width/height/channels (1 gray,
+// 3 RGB after libjpeg's default colorspace conversion). Returns 0, or -1
+// on malformed input.
+int decode_jpeg_info(const unsigned char* buf, int64_t len,
+                     int32_t* width, int32_t* height, int32_t* channels) {
+    jpeg_decompress_struct cinfo;
+    ErrMgr err;
+    cinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = err_exit;
+    err.pub.emit_message = emit_silent;
+    if (setjmp(err.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_calc_output_dimensions(&cinfo);
+    *width = static_cast<int32_t>(cinfo.output_width);
+    *height = static_cast<int32_t>(cinfo.output_height);
+    *channels = static_cast<int32_t>(cinfo.output_components);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Decode `buf` into `out` (capacity `cap` bytes, row-major H x W x C).
+// Returns bytes written, or -1 on malformed input / insufficient capacity.
+int64_t decode_jpeg(const unsigned char* buf, int64_t len,
+                    unsigned char* out, int64_t cap) {
+    jpeg_decompress_struct cinfo;
+    ErrMgr err;
+    cinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = err_exit;
+    err.pub.emit_message = emit_silent;
+    if (setjmp(err.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    cinfo.dct_method = JDCT_ISLOW;  // PIL's default: bit-identical pixels
+    jpeg_start_decompress(&cinfo);
+    const int64_t stride =
+        static_cast<int64_t>(cinfo.output_width) * cinfo.output_components;
+    const int64_t need = stride * cinfo.output_height;
+    if (need > cap) {
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = out + stride * cinfo.output_scanline;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return need;
+}
 
 // Parse `len` bytes of CSV in `buf` into `out` (capacity `cap` floats),
 // skipping the first (header) line. Writes the column count to *n_cols.

@@ -86,7 +86,15 @@ def main():
     print(f"== per-sample stage costs (ms), n={n}, target_size={ts} ==")
     t_decode = _time_per(lambda r: np.asarray(
         Image.open(r[0]).convert("RGB")), rows)
-    print(f"jpeg decode + to-array:        {t_decode * 1e3:7.2f}")
+    print(f"jpeg decode + to-array (PIL):  {t_decode * 1e3:7.2f}")
+    from multimodal_plankton_recognition_tpu.data.profile_io import (
+        _load_native, load_image,
+    )
+    if getattr(_load_native(), "decode_jpeg", None):
+        t_native = _time_per(lambda r: np.asarray(
+            load_image(r[0]).convert("RGB")), rows)
+        print(f"jpeg decode + to-array (nativ):{t_native * 1e3:7.2f} "
+              f"({t_decode / t_native:.2f}x)")
 
     imgs = [Image.open(r[0]) for r in rows]
     tf_img = ImageTransformTrain(ts)
