@@ -32,20 +32,26 @@ from ..ops.pallas.attention import mha_core
 
 class _PackedProj(nn.Module):
     """(B, L, E_in) -> packed (B, L, H*D) with flax-DenseGeneral-shaped
-    params ((E_in, H, D) kernel, (H, D) bias) applied as one 2-D matmul."""
+    params ((E_in, H, D) kernel, (H, D) bias) applied as one 2-D matmul.
+
+    ``apply=False`` returns the packed ((E_in, E), (E,)) f32 weight views
+    instead of projecting — the fused-block kernel path takes the raw
+    weights (same params, same tree) and runs the matmul in-kernel."""
 
     heads: int
     head_dim: int
     dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, apply: bool = True):
         e_in = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (e_in, self.heads, self.head_dim), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.heads, self.head_dim), jnp.float32)
         e = self.heads * self.head_dim
+        if not apply:
+            return kernel.reshape(e_in, e), bias.reshape(e)
         return x @ kernel.reshape(e_in, e).astype(self.dtype) \
             + bias.reshape(e).astype(self.dtype)
 
@@ -60,13 +66,15 @@ class _PackedOut(nn.Module):
     dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, apply: bool = True):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (self.heads, self.head_dim, self.features),
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         e = self.heads * self.head_dim
+        if not apply:
+            return kernel.reshape(e, self.features), bias
         return x @ kernel.reshape(e, self.features).astype(self.dtype) \
             + bias.astype(self.dtype)
 
@@ -82,6 +90,12 @@ class FusedSelfAttention(nn.Module):
     num_heads: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    #: run the QKV/out projections INSIDE the kernel (one fused block,
+    #: ops/pallas/attention_block.py) — deletes the XLA<->Pallas layout
+    #: bridges around q/k/v/o (measured ~6.3 ms/step on the ViT flagship,
+    #: docs/PERF.md r3 floor). Only takes effect on the kernel path;
+    #: PLANKTON_ATTN_FUSE_PROJ=0/1 overrides for perf probes.
+    fuse_projections: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -92,9 +106,6 @@ class FusedSelfAttention(nn.Module):
         d = e // h
         if h * d != e:
             raise ValueError(f"num_heads={h} must divide features={e}")
-        q = _PackedProj(h, d, self.dtype, name="query")(x)
-        k = _PackedProj(h, d, self.dtype, name="key")(x)
-        v = _PackedProj(h, d, self.dtype, name="value")(x)
 
         if mask_rows is None:
             bias = jnp.zeros((b, l), jnp.float32)
@@ -109,18 +120,45 @@ class FusedSelfAttention(nn.Module):
         # internally, so an f32 card keeps the full-precision einsum path
         # (round-2 advisor finding).
         from ..ops.kernels import kernel_path_allowed
-        if kernel_path_allowed() and self.dtype == jnp.bfloat16:
+        kernel_ok = kernel_path_allowed() and self.dtype == jnp.bfloat16
+        if kernel_ok:
             if train:
                 seed = jax.random.randint(self.make_rng("dropout"), (),
                                           0, jnp.iinfo(jnp.int32).max)
             else:
                 seed = jnp.zeros((), jnp.int32)
             interpret = jax.default_backend() != "tpu"
+
+        if kernel_ok and self._fuse_proj_enabled():
+            from ..ops.pallas.attention_block import attn_block
+            wq, bq = _PackedProj(h, d, self.dtype, name="query")(
+                x, apply=False)
+            wk, bk = _PackedProj(h, d, self.dtype, name="key")(
+                x, apply=False)
+            wv, bv = _PackedProj(h, d, self.dtype, name="value")(
+                x, apply=False)
+            wo, bo = _PackedOut(h, d, e, self.dtype, name="out")(
+                x, apply=False)
+            return attn_block(x, wq, bq, wk, bk, wv, bv, wo, bo, bias,
+                              seed, h, self.dropout_rate, train, interpret,
+                              mask_rows is not None)
+
+        q = _PackedProj(h, d, self.dtype, name="query")(x)
+        k = _PackedProj(h, d, self.dtype, name="key")(x)
+        v = _PackedProj(h, d, self.dtype, name="value")(x)
+        if kernel_ok:
             o = mha_core(q, k, v, bias, seed, h, self.dropout_rate, train,
                          interpret, True, mask_rows is not None)
         else:
             o = self._einsum_fallback(q, k, v, bias, train, h, d)
         return _PackedOut(h, d, e, self.dtype, name="out")(o)
+
+    def _fuse_proj_enabled(self) -> bool:
+        import os
+        env = os.environ.get("PLANKTON_ATTN_FUSE_PROJ")
+        if env in ("0", "1"):
+            return env == "1"
+        return self.fuse_projections
 
     def _einsum_fallback(self, q, k, v, bias, train: bool,
                          h: int, d: int) -> jnp.ndarray:

@@ -160,7 +160,7 @@ def probe_train_step_bnrows(bs, rows):
 
 
 def probe_vit_train(bs, fused_attention=False, fused_ffn=False,
-                    tag_extra=""):
+                    tag_extra="", fuse_proj=None):
     """Full train step for the second flagship family (ViT-T/16 +
     ProfileTransformer) at a given per-chip batch; fused_attention routes
     both transformers through the Pallas lane-mask attention kernel."""
@@ -175,6 +175,10 @@ def probe_vit_train(bs, fused_attention=False, fused_ffn=False,
     from multimodal_plankton_recognition_tpu.models.flagships import (
         flagship_vit, synthetic_batch_vit,
     )
+    import os
+    if fuse_proj is not None:  # A/B the fused-projection attention block
+        os.environ["PLANKTON_ATTN_FUSE_PROJ"] = "1" if fuse_proj else "0"
+        tag_extra += f" [fuse_proj={int(fuse_proj)}]"
     buckets = bs // 16
     model = flagship_vit(fused_attention=fused_attention,
                          fused_ffn=fused_ffn)
@@ -391,6 +395,12 @@ PROBES = {
     "vit_train256": partial(probe_vit_train, 256),
     "vit_train256_fused": partial(probe_vit_train, 256,
                                   fused_attention=True),
+    "vit_train256_fusedproj": partial(probe_vit_train, 256,
+                                      fused_attention=True,
+                                      fuse_proj=True),
+    "vit_train256_fused_noproj": partial(probe_vit_train, 256,
+                                         fused_attention=True,
+                                         fuse_proj=False),
     "vit_train256_fused2": partial(probe_vit_train, 256,
                                    fused_attention=True, fused_ffn=True),
     "vit_train256_dpa": partial(probe_vit_train_dpa, 256),
