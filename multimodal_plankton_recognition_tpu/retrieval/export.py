@@ -135,6 +135,19 @@ def export_inference(model, variables, card: ModelCard, kind: str,
     return jax_export.export(jax.jit(fn), platforms=list(platforms))(args)
 
 
+#: exact-hit tolerance for the serving artifact: far above the ~1e-6
+#: cross-lowering embedding delta (jit-that-built-the-gallery vs the
+#: exported StableHLO) and the direct-form distance noise, far below
+#: genuine inter-sample distances on L2-normalized embeddings (>= ~2e-3
+#: even on a 4-epoch tiny model) — so a gallery member queried through
+#: the artifact still fires the reference's exact-hit rule, and ONLY it
+#: (VERDICT r3 #6; the 11/15-on-TPU self-gallery misvotes in
+#: VALIDATION.md r3). Paired with the direct-form top-k distance
+#: refinement in _retrieval_classify_fn, without which f32 cancellation
+#: noise in the ranking form would swamp any eps.
+SERVING_EXACT_EPS = 1e-4
+
+
 def _retrieval_classify_fn(model, variables, gallery: jnp.ndarray,
                            gallery_ids: jnp.ndarray, n_classes: int, k: int):
     """One lowered function: embed a (image, profile) pair batch, query the
@@ -142,7 +155,8 @@ def _retrieval_classify_fn(model, variables, gallery: jnp.ndarray,
     fusion mechanism: one kNN query per modality, neighbors h-stacked,
     reference: src/ann.py:15-21), and return the inverse-distance
     weighted-mode class. Semantics identical to
-    ``ANNClassifier(gallery, y).predict(img_emb, prof_emb, k=k)``."""
+    ``ANNClassifier(gallery, y).predict(img_emb, prof_emb, k=k)`` up to
+    the ``SERVING_EXACT_EPS`` exact-hit tolerance (see its note)."""
     from ..ops.knn import (
         _topk_euclidean, inverse_distance_weights, weighted_mode_device,
     )
@@ -151,14 +165,30 @@ def _retrieval_classify_fn(model, variables, gallery: jnp.ndarray,
         emb = model.apply(variables, method="encode", train=False, **batch)
         queries = (l2_normalize(emb["image_emb"]),
                    l2_normalize(emb["profile_emb"]))
+        # coarse-rank -> exact re-rank: the matmul form (qn - 2 q.g + gn)
+        # the kNN kernel ranks with carries ~3e-4 of f32 cancellation
+        # noise in distance units — enough to tie genuinely-distinct
+        # neighbors with the exact self-hit and randomly trip (or miss)
+        # the exact-hit rule below. So oversample candidates by the fast
+        # matmul ranking, recompute their distances with the noise-free
+        # direct form ||q - g|| (what the reference's pynndescent
+        # computes, src/ann.py), and take the exact top-k under those.
+        # Cost: a (B, kc, E) gather + elementwise — kc is tiny.
+        kc = min(gallery.shape[0], max(2 * k, k + 16))
         idx_list, dist_list = [], []
         for q in queries:
-            idx, dist = _topk_euclidean(q, gallery, k=k)
+            cand, _ = _topk_euclidean(q, gallery, k=kc)
+            g_sel = gallery[cand]
+            diff = q.astype(jnp.float32)[:, None, :] - g_sel
+            d2 = jnp.sum(diff * diff, axis=-1)
+            best, pos = jax.lax.top_k(-d2, k)
+            idx = jnp.take_along_axis(cand, pos, axis=1)
+            dist = jnp.sqrt(jnp.maximum(-best, 0.0))
             idx_list.append(idx)
             dist_list.append(dist)
         idx = jnp.concatenate(idx_list, axis=1)
         dist = jnp.concatenate(dist_list, axis=1)
-        weights = inverse_distance_weights(dist)
+        weights = inverse_distance_weights(dist, exact_eps=SERVING_EXACT_EPS)
         class_id, votes = weighted_mode_device(gallery_ids[idx], weights,
                                                n_classes)
         return {"class_id": class_id, "votes": votes,
@@ -340,7 +370,8 @@ def export_retrieval_checkpoint(checkpoint_dir: Path | str,
         "retrieval", card, platforms, batch_size,
         classes=vocab.classes_.tolist(),
         outputs=["class_id", "votes", "image_emb", "profile_emb"],
-        k=k, gallery_size=int(labels.shape[0]),
+        k=k, exact_eps=SERVING_EXACT_EPS,
+        gallery_size=int(labels.shape[0]),
         gallery_source=str(embeddings_pkl))
     return save_artifact(exported, artifact_meta, out_dir)
 

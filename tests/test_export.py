@@ -154,6 +154,23 @@ def test_weighted_mode_device_matches_numpy():
     np.testing.assert_allclose(w_dev, w_ref.astype(np.float32), rtol=1e-6)
 
 
+def test_inverse_distance_weights_exact_eps():
+    """The serving artifact's tolerant exact-hit rule (VERDICT r3 #6): a
+    self-hit at the ~1e-6 cross-lowering delta must still take all the
+    mass, while the default eps=0 keeps the reference's ==0 semantics."""
+    from multimodal_plankton_recognition_tpu.ops.knn import (
+        inverse_distance_weights,
+    )
+    dist = jnp.asarray([[1e-6, 0.8, 1.1],    # near-self hit
+                        [0.5, 0.9, 1.3]])    # no self hit
+    w = np.asarray(inverse_distance_weights(dist, exact_eps=1e-4))
+    np.testing.assert_allclose(w[0], [1.0, 0.0, 0.0])       # hit wins all
+    np.testing.assert_allclose(w[1], 1.0 / np.asarray(dist)[1], rtol=1e-6)
+    # default: 1e-6 > 0 so the plain inverse weight applies (finite)
+    w0 = np.asarray(inverse_distance_weights(dist))
+    assert np.isfinite(w0).all() and w0[0, 0] == pytest.approx(1e6, rel=1e-3)
+
+
 def test_retrieval_classifier_export_matches_ann(tmp_path):
     """The exported pair->class artifact == encode + ANNClassifier.predict
     composed by hand (the reference's fused-gallery deployment recipe)."""
