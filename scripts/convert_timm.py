@@ -91,6 +91,64 @@ def selftest(archs) -> int:
     return 1 if failures else 0
 
 
+def from_hub(arch: str, output: str, in_chans: int, prefix: str) -> int:
+    """One-command pretrained-weight production on a timm-enabled host:
+    download the ImageNet weights through timm, verify the converted Flax
+    backbone's forward parity against the timm model at 3 channels, then
+    write the in_chans-adapted npz. (This environment has no timm and no
+    egress — the offline conversion direction is pinned by
+    tests/test_convert_timm.py and tests/golden/convert_fixture.npz.)"""
+    try:
+        import timm
+        import torch
+    except ImportError as e:
+        print(f"--from-hub: {e} — run this where timm is installed, e.g.\n"
+              f"  pip install timm && python scripts/convert_timm.py "
+              f"--from-hub -a {arch} -o {output}")
+        return 2
+    import jax
+    from multimodal_plankton_recognition_tpu.models.image.registry import (
+        create_backbone,
+    )
+
+    with torch.no_grad():
+        m = timm.create_model(arch, pretrained=True, num_classes=0,
+                              in_chans=3).eval()
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+        ref = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    params, stats, missing = convert_state_dict(arch, sd, in_chans=3)
+    if missing:
+        print(f"FAIL: {len(missing)} unmapped keys {missing[:4]}")
+        return 1
+    enc = create_backbone(arch, in_chans=3)
+    variables = {"params": _unflatten(params)}
+    if stats:
+        variables["batch_stats"] = _unflatten(stats)
+    out = np.asarray(jax.jit(
+        lambda v, x: enc.apply(v, x, train=False))(variables, x))
+    err = float(np.max(np.abs(out - ref)))
+    scale = float(np.max(np.abs(ref))) or 1.0
+    if err / scale >= 5e-3:
+        print(f"FAIL: forward parity {err:.3e} (rel {err / scale:.2e})")
+        return 1
+    print(f"parity OK: max|Δ| {err:.3e} (rel {err / scale:.2e})")
+    # write the requested-channel adaptation (stem kernels summed the timm
+    # way inside convert_state_dict)
+    import tempfile
+
+    import torch as _torch
+    with tempfile.NamedTemporaryFile(suffix=".pth") as tmp:
+        _torch.save(m.state_dict(), tmp.name)
+        counts = convert_to_npz(arch, tmp.name, output,
+                                in_chans=in_chans, prefix=prefix)
+    print(f"wrote {output}: {counts['params']} params + "
+          f"{counts['batch_stats']} batch_stats arrays (in_chans="
+          f"{in_chans})")
+    return 0
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("-a", "--arch", choices=sorted(ARCH_SPECS),
@@ -107,12 +165,22 @@ def main() -> None:
     p.add_argument("--selftest", action="store_true",
                    help="Forward-parity check of every arch spec against "
                         "timm itself (requires timm; see module docstring).")
+    p.add_argument("--from-hub", action="store_true",
+                   help="One-command recipe on a timm-enabled host: create "
+                        "the pretrained timm model for -a (downloading the "
+                        "ImageNet weights), convert its state_dict, verify "
+                        "forward parity against timm, write -o.")
     args = p.parse_args()
     if args.selftest:
         sys.exit(selftest([args.arch] if args.arch
                           else sorted(ARCH_SPECS)))
+    if args.from_hub:
+        if not (args.arch and args.output):
+            p.error("--from-hub needs -a and -o")
+        sys.exit(from_hub(args.arch, args.output, args.in_chans,
+                          args.prefix))
     if not (args.arch and args.input and args.output):
-        p.error("-a, -i and -o are required unless --selftest")
+        p.error("-a, -i and -o are required unless --selftest/--from-hub")
     counts = convert_to_npz(args.arch, args.input, args.output,
                             in_chans=args.in_chans, prefix=args.prefix)
     print(f"wrote {args.output}: {counts['params']} params + "
