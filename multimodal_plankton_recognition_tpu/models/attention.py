@@ -79,6 +79,15 @@ class _PackedOut(nn.Module):
             + bias.astype(self.dtype)
 
 
+def _stacked_softmax_enabled() -> bool:
+    """Stacked-softmax attention kernel (one (H*L8, L) softmax/dropout
+    pass per sample instead of H per-head VPU chains — see mha_core).
+    Default ON: measured 53.7 vs 57.6 ms/step on the ViT flagship
+    (docs/PERF.md r4). PLANKTON_ATTN_STACKED=0/1 overrides for probes."""
+    import os
+    return os.environ.get("PLANKTON_ATTN_STACKED", "1") == "1"
+
+
 class FusedSelfAttention(nn.Module):
     """Multi-head self-attention with the fused TPU core.
 
@@ -92,10 +101,12 @@ class FusedSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     #: run the QKV/out projections INSIDE the kernel (one fused block,
     #: ops/pallas/attention_block.py) — deletes the XLA<->Pallas layout
-    #: bridges around q/k/v/o (measured ~6.3 ms/step on the ViT flagship,
-    #: docs/PERF.md r3 floor). Only takes effect on the kernel path;
-    #: PLANKTON_ATTN_FUSE_PROJ=0/1 overrides for perf probes.
-    fuse_projections: bool = True
+    #: bridges around q/k/v/o. MEASURED NEGATIVE on the ViT flagship
+    #: (63.9 vs 57.6 ms/step, docs/PERF.md r4): XLA's batched (B*L, E)
+    #: projection GEMMs beat the kernel's per-sample dots by more than the
+    #: bridges cost. Default off; PLANKTON_ATTN_FUSE_PROJ=0/1 overrides
+    #: for perf probes.
+    fuse_projections: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -148,7 +159,8 @@ class FusedSelfAttention(nn.Module):
         v = _PackedProj(h, d, self.dtype, name="value")(x)
         if kernel_ok:
             o = mha_core(q, k, v, bias, seed, h, self.dropout_rate, train,
-                         interpret, True, mask_rows is not None)
+                         interpret, True, mask_rows is not None,
+                         _stacked_softmax_enabled())
         else:
             o = self._einsum_fallback(q, k, v, bias, train, h, d)
         return _PackedOut(h, d, e, self.dtype, name="out")(o)

@@ -210,6 +210,130 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
         db_ref[i] = db
 
 
+def _rup8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _fwd_kernel_stacked(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
+                        z_scratch,
+                        *, heads: int, dropout_p: float, train: bool,
+                        block_b: int, has_bias: bool = True):
+    """Stacked-softmax variant of _fwd_kernel (narrow head slices): all
+    heads' (L, L) scores land in one (H*L8, L) scratch so the softmax and
+    dropout VPU chains run ONCE per sample on a big tensor instead of H
+    times on small ones — the per-op floor blamed the per-head VPU
+    serialization for most of the attention kernel's gap to its matmul
+    floor (docs/PERF.md r3). Per-head rows sit at 8-aligned offsets
+    h*L8; the L8-L pad rows hold garbage that no consumer ever slices.
+    """
+    base = pl.program_id(0) * block_b
+    l8 = z_scratch.shape[0] // heads
+    for i in range(block_b):
+        q = q_ref[i]                                     # (L, E)
+        k = k_ref[i]
+        v = v_ref[i]
+        l, e = q.shape
+        d = e // heads
+        scale = 1.0 / (d ** 0.5)
+        bias = bias_ref[i]                               # (1, L)
+        use_drop = train and dropout_p > 0.0
+
+        for h in range(heads):
+            qh, kh = q[:, h * d:(h + 1) * d], k[:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            z_scratch[h * l8:h * l8 + l, :] = \
+                s * scale + bias if has_bias else s * scale
+        z = z_scratch[...]                               # (H*L8, L)
+        m = jnp.max(z, axis=1, keepdims=True)
+        p = jnp.exp(z - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        if use_drop:
+            pltpu.prng_seed(seed_ref[0, 0] + base + i)
+            keep = (_uniform(p.shape) >= dropout_p).astype(jnp.float32)
+            p = p * keep * (1.0 / (1.0 - dropout_p))
+        p = p.astype(v.dtype)
+        parts = []
+        for h in range(heads):
+            vh = v[:, h * d:(h + 1) * d]
+            parts.append(jax.lax.dot_general(
+                p[h * l8:h * l8 + l, :], vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        o_ref[i] = jnp.concatenate(parts, axis=1).astype(o_ref.dtype)
+
+
+def _bwd_kernel_stacked(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
+                        dq_ref, dk_ref, dv_ref, db_ref,
+                        z_scratch, dp_scratch,
+                        *, heads: int, dropout_p: float, train: bool,
+                        block_b: int, has_bias: bool = True):
+    base = pl.program_id(0) * block_b
+    l8 = z_scratch.shape[0] // heads
+    for i in range(block_b):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        do = do_ref[i]
+        l, e = q.shape
+        d = e // heads
+        scale = 1.0 / (d ** 0.5)
+        bias = bias_ref[i]
+        use_drop = train and dropout_p > 0.0
+
+        for h in range(heads):
+            qh, kh = q[:, h * d:(h + 1) * d], k[:, h * d:(h + 1) * d]
+            vh = v[:, h * d:(h + 1) * d]
+            do_h = do[:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            z_scratch[h * l8:h * l8 + l, :] = \
+                s * scale + bias if has_bias else s * scale
+            dp_scratch[h * l8:h * l8 + l, :] = jax.lax.dot_general(
+                do_h, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        z = z_scratch[...]
+        m = jnp.max(z, axis=1, keepdims=True)
+        p = jnp.exp(z - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        dpd = dp_scratch[...]
+        if use_drop:
+            pltpu.prng_seed(seed_ref[0, 0] + base + i)
+            keep = (_uniform(p.shape) >= dropout_p).astype(jnp.float32)
+            inv = 1.0 / (1.0 - dropout_p)
+            pd = p * keep * inv
+            dp = dpd * keep * inv
+        else:
+            pd = p
+            dp = dpd
+        dz = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        ds_all = (dz * scale).astype(q.dtype)
+        pd = pd.astype(do.dtype)
+
+        db = jnp.zeros((1, l), jnp.float32)
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(heads):
+            qh, kh = q[:, h * d:(h + 1) * d], k[:, h * d:(h + 1) * d]
+            do_h = do[:, h * d:(h + 1) * d]
+            ds = ds_all[h * l8:h * l8 + l, :]
+            pd_h = pd[h * l8:h * l8 + l, :]
+            if has_bias:
+                db = db + jnp.sum(dz[h * l8:h * l8 + l, :], axis=0,
+                                  keepdims=True)
+            dq_parts.append(jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dk_parts.append(jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dv_parts.append(jax.lax.dot_general(
+                pd_h, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dq_ref[i] = jnp.concatenate(dq_parts, axis=1).astype(dq_ref.dtype)
+        dk_ref[i] = jnp.concatenate(dk_parts, axis=1).astype(dk_ref.dtype)
+        dv_ref[i] = jnp.concatenate(dv_parts, axis=1).astype(dv_ref.dtype)
+        db_ref[i] = db
+
+
 def _pick_block_b(b: int, limit: int = 4) -> int:
     """Largest power-of-two divisor of ``b`` up to ``limit`` (VMEM budget:
     ~10 (block_b, L, E) blocks double-buffered ≈ 1.7·block_b MB at L=225,
@@ -239,11 +363,11 @@ def _specs(l, e, bb):
     return emb, bias, seed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def mha_core(q, k, v, bias_rows, seed,
              heads: int, dropout_p: float = 0.0, train: bool = False,
              interpret: bool = False, narrow: bool = True,
-             has_bias: bool = True):
+             has_bias: bool = True, stacked: bool = False):
     """Fused multi-head self-attention on packed (B, L, E) q/k/v.
 
     ``bias_rows``: (B, L) f32 additive pre-softmax key bias (0 for attend,
@@ -257,40 +381,63 @@ def mha_core(q, k, v, bias_rows, seed,
     unmasked image-encoder attention): the kernels then skip the per-head
     (L, L) bias add in forward AND the per-head (L, L)->(1, L) bias-grad
     reduction in backward, and the cotangent is zeros by construction.
+    ``stacked=True`` lands every head's scores in one (H*L8, L) scratch so
+    softmax/dropout run once per sample on a big tensor instead of H
+    per-head VPU chains (implies the narrow head slices; dropout masks
+    differ from the unstacked kernel — per-sample instead of per-(sample,
+    head) PRNG streams, still no reproducibility contract).
     """
-    return _mha_fwd(q, k, v, bias_rows, seed,
-                    heads, dropout_p, train, interpret, narrow, has_bias)[0]
+    return _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train,
+                    interpret, narrow, has_bias, stacked)[0]
 
 
 def _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train, interpret,
-             narrow=True, has_bias=True):
+             narrow=True, has_bias=True, stacked=False):
     b, l, e = q.shape
     bb = _pick_block_b(b)
     emb, bias_spec, seed_spec = _specs(l, e, bb)
-    kernel = functools.partial(_fwd_kernel, heads=heads,
-                               dropout_p=dropout_p, train=train,
-                               narrow=narrow, block_b=bb, has_bias=has_bias)
+    if stacked:
+        kernel = functools.partial(_fwd_kernel_stacked, heads=heads,
+                                   dropout_p=dropout_p, train=train,
+                                   block_b=bb, has_bias=has_bias)
+        scratch = [pltpu.VMEM((heads * _rup8(l), l), jnp.float32)]
+    else:
+        kernel = functools.partial(_fwd_kernel, heads=heads,
+                                   dropout_p=dropout_p, train=train,
+                                   narrow=narrow, block_b=bb,
+                                   has_bias=has_bias)
+        scratch = []
     o = pl.pallas_call(
         kernel,
         grid=(b // bb,),
         in_specs=[emb, emb, emb, bias_spec, seed_spec],
         out_specs=emb,
         out_shape=jax.ShapeDtypeStruct((b, l, e), q.dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(q, k, v, jnp.asarray(bias_rows, jnp.float32).reshape(b, 1, l),
       jnp.asarray(seed, jnp.int32).reshape(1, 1))
     return o, (q, k, v, bias_rows, seed)
 
 
-def _mha_bwd(heads, dropout_p, train, interpret, narrow, has_bias,
+def _mha_bwd(heads, dropout_p, train, interpret, narrow, has_bias, stacked,
              residuals, g):
     q, k, v, bias_rows, seed = residuals
     b, l, e = q.shape
     bb = _pick_block_b(b)
     emb, bias_spec, seed_spec = _specs(l, e, bb)
-    kernel = functools.partial(_bwd_kernel, heads=heads,
-                               dropout_p=dropout_p, train=train,
-                               narrow=narrow, block_b=bb, has_bias=has_bias)
+    if stacked:
+        kernel = functools.partial(_bwd_kernel_stacked, heads=heads,
+                                   dropout_p=dropout_p, train=train,
+                                   block_b=bb, has_bias=has_bias)
+        scratch = [pltpu.VMEM((heads * _rup8(l), l), jnp.float32),
+                   pltpu.VMEM((heads * _rup8(l), l), jnp.float32)]
+    else:
+        kernel = functools.partial(_bwd_kernel, heads=heads,
+                                   dropout_p=dropout_p, train=train,
+                                   narrow=narrow, block_b=bb,
+                                   has_bias=has_bias)
+        scratch = []
     dq, dk, dv, db = pl.pallas_call(
         kernel,
         grid=(b // bb,),
@@ -302,6 +449,7 @@ def _mha_bwd(heads, dropout_p, train, interpret, narrow, has_bias,
             jax.ShapeDtypeStruct((b, l, e), v.dtype),
             jax.ShapeDtypeStruct((b, 1, l), jnp.float32),
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(q, k, v, jnp.asarray(bias_rows, jnp.float32).reshape(b, 1, l),
       jnp.asarray(seed, jnp.int32).reshape(1, 1),

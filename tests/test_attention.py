@@ -280,3 +280,45 @@ def test_block_b_env_knob_is_defensive(monkeypatch):
     monkeypatch.setenv("PLANKTON_ATTN_BLOCK_B", "0")    # degenerate: 1
     assert _pick_block_b(256) == 1
     assert _pick_block_b(7) == 1                        # odd batch: 1 always
+
+
+@pytest.mark.parametrize("heads,l,e", [(3, 197, 192), (8, 225, 192)])
+def test_stacked_kernel_matches_reference_fwd(heads, l, e):
+    b = 4
+    q, k, v = _rand_qkv(b, l, e)
+    bias, _ = _mask_bias(b, l)
+    seed = jnp.zeros((), jnp.int32)
+    out = mha_core(q, k, v, bias, seed, heads, 0.0, False, True, True,
+                   True, True)
+    ref = mha_reference(q, k, v, bias, heads)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("heads,l,e", [(8, 64, 64), (4, 33, 64)])
+def test_stacked_kernel_matches_reference_grad(heads, l, e):
+    """Stacked softmax backward: q/k/v AND bias cotangents (the pad-row
+    garbage in the (H*L8, L) scratch must never leak into any gradient —
+    l=33 makes L8=40 > L so the pad rows exist)."""
+    b = 2
+    q, k, v = _rand_qkv(b, l, e, dtype=jnp.float32)
+    bias, _ = _mask_bias(b, l)
+    seed = jnp.zeros((), jnp.int32)
+
+    def loss_kernel(q, k, v, bias):
+        o = mha_core(q, k, v, bias, seed, heads, 0.0, False, True, True,
+                     True, True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        o = mha_reference(q, k, v, bias, heads)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b_ in zip("qkvb", gk, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=0.05, atol=0.05,
+                                   err_msg=f"grad mismatch for d{name}")
