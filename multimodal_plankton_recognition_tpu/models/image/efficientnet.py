@@ -11,11 +11,12 @@ the block input channels.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 # (expand_ratio, channels, repeats, stride, kernel) per stage — B0 table
 _B0_STAGES: Tuple[Tuple[int, int, int, int, int], ...] = (
@@ -242,6 +243,11 @@ class _MBConv(nn.Module):
         if self.expand_ratio != 1:
             y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand_conv")(y)
+            # named so the "conv_saves" remat policy (EfficientNet.remat)
+            # saves the raw conv outputs for backward and recomputes the
+            # cheap elementwise BN-apply/SiLU chains instead of
+            # round-tripping BOTH tensors through HBM (no-op otherwise)
+            y = checkpoint_name(y, "mbconv_conv")
             y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                              name="expand_bn")(y)
             y = nn.silu(y)
@@ -250,6 +256,7 @@ class _MBConv(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=[(p, p), (p, p)], feature_group_count=mid,
                     use_bias=False, dtype=self.dtype, name="dw_conv")(y)
+        y = checkpoint_name(y, "mbconv_conv")
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                          name="dw_bn")(y)
         y = nn.silu(y)
@@ -258,6 +265,7 @@ class _MBConv(nn.Module):
                                self.dtype, name="se")(y)
         y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project_conv")(y)
+        y = checkpoint_name(y, "mbconv_conv")
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                          name="project_bn")(y)
         if self.stride == 1 and self.in_ch == self.out_ch:
@@ -272,12 +280,18 @@ class EfficientNet(nn.Module):
     #: route MBConv blocks through the fused Pallas TPU kernels (same
     #: parameter tree; see _MBConv.fused)
     fused: bool = False
-    #: rematerialize each MBConv block (jax.checkpoint): only block
-    #: boundaries are saved for the backward pass, the 6x-expanded
-    #: intermediates are recomputed instead of round-tripping HBM — the
-    #: B0 train step is HBM-bandwidth-bound (docs/PERF.md), so this trades
-    #: idle-MXU FLOPs for the dominant traffic
-    remat: bool = False
+    #: rematerialize MBConv blocks (jax.checkpoint):
+    #: * ``True`` — full per-block remat: only block boundaries are saved
+    #:   and the whole block (convs included) is recomputed. Measured
+    #:   NEGATIVE on the v5e (+19% HBM traffic, docs/PERF.md r3): the
+    #:   recomputed convolutions re-read their operand streams.
+    #: * ``"conv_saves"`` — policy remat saving ONLY the raw conv outputs
+    #:   (checkpoint_name "mbconv_conv"): backward recomputes the
+    #:   elementwise BN-apply/SiLU/SE chains from the saved conv outputs
+    #:   instead of round-tripping both the pre-BN and post-activation
+    #:   tensors through HBM (the stage2a HLO materializes both, 2.1x the
+    #:   structural traffic minimum — scripts/mbconv_traffic.py).
+    remat: Union[bool, str] = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -295,8 +309,15 @@ class EfficientNet(nn.Module):
 
         # static_argnums=(2,) marks `train` ((self, x, train) counting) so
         # the checkpoint trace sees a concrete bool
-        block_cls = nn.remat(_MBConv, static_argnums=(2,)) if self.remat \
-            else _MBConv
+        if self.remat == "conv_saves":
+            block_cls = nn.remat(
+                _MBConv, static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "mbconv_conv"))
+        elif self.remat:
+            block_cls = nn.remat(_MBConv, static_argnums=(2,))
+        else:
+            block_cls = _MBConv
 
         in_ch = 32
         for si, (expand, ch, repeats, stride, kernel) in enumerate(_B0_STAGES):

@@ -12,7 +12,7 @@ driver when requested; the module itself is init-from-scratch.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -37,9 +37,11 @@ class ImageEncoder(nn.Module):
     fused_attention: bool = False
     #: route ViT MLPs through the fused Pallas FFN kernel (models/ffn.py)
     fused_ffn: bool = False
-    #: rematerialize EfficientNet MBConv blocks (jax.checkpoint) — trades
-    #: idle-MXU FLOPs for the HBM traffic that bounds the B0 step
-    remat: bool = False
+    #: rematerialize EfficientNet MBConv blocks (jax.checkpoint):
+    #: ``True`` = full per-block remat (measured negative, docs/PERF.md);
+    #: ``"conv_saves"`` = policy remat saving only raw conv outputs and
+    #: recomputing the elementwise BN/SiLU/SE chains in backward
+    remat: Union[bool, str] = False
     #: extra kwargs forwarded verbatim to the backbone constructor (e.g.
     #: ``{"img_size": 32, "depth": 2}`` for the scaled-down conformance
     #: models in __graft_entry__.dryrun_multichip); also accepted as an
@@ -56,7 +58,7 @@ class ImageEncoder(nn.Module):
         if self.fused_ffn and self.name.startswith("vit"):
             extra["fused_ffn"] = True
         if self.remat and "efficientnet" in self.name:
-            extra["remat"] = True
+            extra["remat"] = self.remat
         extra.update(self.backbone_kwargs or {})
         self.backbone = create_backbone(self.name, in_chans=self.in_chans,
                                         dtype=self.dtype, **extra)

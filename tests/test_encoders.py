@@ -244,3 +244,49 @@ def test_efficientnet_remat_parity():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_efficientnet_conv_saves_remat_parity():
+    """remat="conv_saves" (policy remat: save only the raw conv outputs,
+    recompute the elementwise BN/SiLU/SE chains in backward) declares the
+    identical param tree, identical eval forward, and f32 train-mode
+    gradients equal to the unremat model. The policy is the round-4 HBM
+    lever: the unremat HLO materializes both the pre-BN conv output AND the
+    post-activation tensor per conv (2.1x the structural traffic minimum,
+    scripts/mbconv_traffic.py)."""
+    import flax.linen as nn
+    from multimodal_plankton_recognition_tpu.models.image.efficientnet import (
+        EfficientNet, _MBConv,
+    )
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 24, 24, 1),
+                    jnp.float32)
+    base = EfficientNet(in_chans=1)
+    rem = EfficientNet(in_chans=1, remat="conv_saves")
+    v = base.init(jax.random.key(0), x, train=False)
+    vr = rem.init(jax.random.key(0), x, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(vr)
+    o1 = base.apply(v, x, train=False)
+    o2 = rem.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    xb = jnp.asarray(np.random.RandomState(1).randn(4, 12, 12, 16),
+                     jnp.float32)
+    blk = _MBConv(16, 16, 6, 1, 3, 0.25, jnp.float32)
+    rblk = nn.remat(
+        _MBConv, static_argnums=(2,),
+        policy=jax.checkpoint_policies.save_only_these_names(
+            "mbconv_conv"))(16, 16, 6, 1, 3, 0.25, jnp.float32)
+    bv = blk.init(jax.random.key(0), xb, train=False)
+
+    def loss(m, params):
+        out, _ = m.apply({"params": params,
+                          "batch_stats": bv["batch_stats"]},
+                         xb, True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g1 = jax.grad(lambda p: loss(blk, p))(bv["params"])
+    g2 = jax.grad(lambda p: loss(rblk, p))(bv["params"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
