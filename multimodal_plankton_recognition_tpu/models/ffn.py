@@ -7,7 +7,7 @@ declares the two ``DenseParams`` holders under its own module names
 (``ff1``/``ff2`` or ``mlp1``/``mlp2``) and passes the arrays in — keeping
 the parameter tree identical to the nn.Dense layout.
 
-On a single-chip TPU the block runs through ``ops.pallas.ffn.ffn_core``
+On a single-chip TPU the block runs through ``ops.pallas.experimental.ffn.ffn_core``
 (hidden activation + dropout mask stay in VMEM — see that module's
 docstring); elsewhere an equivalent jnp composition with flax-rng dropout.
 """
@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.pallas.ffn import ffn_core, ffn_reference, _act
+from ..ops.pallas.experimental.ffn import ffn_core, ffn_reference, _act
 
 
 class DenseParams(nn.Module):

@@ -57,7 +57,7 @@ class _MBConv(nn.Module):
     dtype: jnp.dtype
     #: fused=True declares the same parameter tree but runs the whole block
     #: through the fused Pallas kernels when training at stride 1
-    #: (ops/pallas/mbconv.py); stride-2 blocks and eval use an equivalent
+    #: (ops/pallas/experimental/mbconv.py); stride-2 blocks and eval use an equivalent
     #: jnp composition over the same parameters
     fused: bool = False
 
@@ -123,7 +123,7 @@ class _MBConv(nn.Module):
         return z.astype(dtype)
 
     def _fused_call(self, x, *, train: bool):
-        from ...ops.pallas.mbconv import mbconv_core, mbconv_reference
+        from ...ops.pallas.experimental.mbconv import mbconv_core, mbconv_reference
 
         mid = self.in_ch * self.expand_ratio
         has_expand = self.expand_ratio != 1

@@ -29,7 +29,7 @@ class ImageEncoder(nn.Module):
     pretrained: bool = False      # handled by the driver (npz load)
     pretrained_path: Optional[str] = None
     #: route EfficientNet MBConv blocks through the fused Pallas TPU kernels
-    #: (ops/pallas/mbconv.py) — identical math, the 6x-expanded
+    #: (ops/pallas/experimental/mbconv.py) — identical math, the 6x-expanded
     #: intermediates never leave VMEM; single-chip training path
     fused_mbconv: bool = False
     #: route ViT attention through the fused Pallas kernel

@@ -21,7 +21,7 @@ Semantics exactly match models/attention.py's composition
 Backward is recompute-in-backward (same policy as attention.py): q/k/v and
 the per-head probabilities are rebuilt from x and the weights, weight
 gradients accumulate across the sequential TPU grid in full-array f32
-output blocks (the ops/pallas/ffn.py pattern), and dx is completed
+output blocks (the ops/pallas/experimental/ffn.py pattern), and dx is completed
 in-kernel (dq@Wq^T + dk@Wk^T + dv@Wv^T) so no (B, L, E) intermediate ever
 round-trips HBM.
 
@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import _pick_block_b, _uniform
+from ..attention import _pick_block_b, _uniform
 
 __all__ = ["attn_block", "attn_block_reference"]
 
@@ -292,7 +292,7 @@ def attn_block_reference(x, wq, bq, wk, bk, wv, bv, wo, bo, bias_rows,
                          heads: int):
     """Plain-jnp oracle with the kernel's semantics (no dropout): packed
     projections in x's dtype, f32 softmax, per-head value dots."""
-    from .attention import mha_reference
+    from ..attention import mha_reference
 
     dt = x.dtype
     q = (x @ wq.astype(dt) + bq.astype(dt))

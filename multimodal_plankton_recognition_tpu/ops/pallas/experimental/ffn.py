@@ -16,7 +16,7 @@ ops/pallas/attention.py).
 
 Weight/bias gradients are global sums over samples: the TPU grid is
 sequential, so they accumulate in full-array output blocks across grid
-steps (zeroed at step 0 — the pattern proven in ops/pallas/mbconv.py's
+steps (zeroed at step 0 — the pattern proven in ops/pallas/experimental/mbconv.py's
 projection-gradient accumulators).
 
 Semantics match the unfused path in models/profile/transformer.py /

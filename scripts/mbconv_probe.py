@@ -78,7 +78,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from multimodal_plankton_recognition_tpu import enable_compilation_cache
-    from multimodal_plankton_recognition_tpu.ops.pallas import mbconv as M
+    from multimodal_plankton_recognition_tpu.ops.pallas.experimental import mbconv as M
     enable_compilation_cache()
 
     rs = np.random.RandomState(0)

@@ -1,5 +1,5 @@
 """Fused attention-BLOCK kernel (QKV + MHA + out projection in one Pallas
-call, ops/pallas/attention_block.py) parity tests.
+call, ops/pallas/experimental/attention_block.py) parity tests.
 
 Interpret mode on the CPU test platform; same kernels compile through
 Mosaic on TPU (hardware numbers in docs/PERF.md). Shapes cover both
@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from multimodal_plankton_recognition_tpu.ops.pallas.attention_block import (
+from multimodal_plankton_recognition_tpu.ops.pallas.experimental.attention_block import (
     attn_block, attn_block_reference,
 )
 

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from multimodal_plankton_recognition_tpu.ops.pallas.ffn import (
+from multimodal_plankton_recognition_tpu.ops.pallas.experimental.ffn import (
     ffn_core, ffn_reference,
 )
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from multimodal_plankton_recognition_tpu.ops.pallas.mbconv import (
+from multimodal_plankton_recognition_tpu.ops.pallas.experimental.mbconv import (
     mbconv_core, mbconv_reference,
 )
 from multimodal_plankton_recognition_tpu.models.image.efficientnet import (
