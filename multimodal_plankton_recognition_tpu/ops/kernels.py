@@ -46,9 +46,18 @@ def force_interpret() -> bool:
     return os.environ.get("PLANKTON_FUSED_INTERPRET") == "1"
 
 
+def kernels_disabled() -> bool:
+    """Probe escape hatch: force the jnp/einsum fallbacks everywhere
+    (``PLANKTON_FUSED_DISABLE=1``) so a single-chip TPU can run the
+    non-kernel composition as an oracle (scripts/mosaic_mesh_check.py)."""
+    return os.environ.get("PLANKTON_FUSED_DISABLE") == "1"
+
+
 def kernel_path_allowed() -> bool:
     """True when a pallas_call will see the full local array: a single-chip
     TPU, a shard_map per-chip trace on TPU, or the forced interpret mode."""
+    if kernels_disabled():
+        return False
     if force_interpret():
         return True
     if jax.default_backend() != "tpu":
