@@ -42,19 +42,26 @@ def _load_native():
                     ctypes.c_int64,       # out capacity (floats)
                     ctypes.POINTER(ctypes.c_int64),  # n_cols out
                 ]
-                if hasattr(lib, "decode_jpeg"):  # older .so builds lack it
-                    lib.decode_jpeg_info.restype = ctypes.c_int32
-                    lib.decode_jpeg_info.argtypes = [
-                        ctypes.c_char_p, ctypes.c_int64,
-                        ctypes.POINTER(ctypes.c_int32),
-                        ctypes.POINTER(ctypes.c_int32),
-                        ctypes.POINTER(ctypes.c_int32),
-                    ]
-                    lib.decode_jpeg.restype = ctypes.c_int64
-                    lib.decode_jpeg.argtypes = [
-                        ctypes.c_char_p, ctypes.c_int64,
-                        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int64,
-                    ]
+                # JPEG entry points are OPTIONAL (older .so builds lack
+                # them) and registered in their own try so a partial or
+                # inconsistent JPEG export cannot discard the working CSV
+                # fast path above (round-4 advisor finding)
+                try:
+                    if hasattr(lib, "decode_jpeg"):
+                        lib.decode_jpeg_info.restype = ctypes.c_int32
+                        lib.decode_jpeg_info.argtypes = [
+                            ctypes.c_char_p, ctypes.c_int64,
+                            ctypes.POINTER(ctypes.c_int32),
+                            ctypes.POINTER(ctypes.c_int32),
+                            ctypes.POINTER(ctypes.c_int32),
+                        ]
+                        lib.decode_jpeg.restype = ctypes.c_int64
+                        lib.decode_jpeg.argtypes = [
+                            ctypes.c_char_p, ctypes.c_int64,
+                            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int64,
+                        ]
+                except AttributeError:
+                    pass  # JPEG feature off; CSV parsing still served
                 _NATIVE = lib
                 return lib
             except (OSError, AttributeError):
@@ -103,6 +110,66 @@ def load_profile_csv(path: Path | str) -> np.ndarray:
 #: back to PIL)
 _JPEG_MAGIC = b"\xff\xd8\xff"
 
+#: one-time native-vs-PIL decode cross-check result (None = not yet run)
+_JPEG_VERIFIED = None
+
+
+def _decode_jpeg_native(lib, data: bytes) -> np.ndarray | None:
+    """Decode JPEG bytes with the native library; None on any mismatch
+    (caller falls back to PIL)."""
+    if not (lib and hasattr(lib, "decode_jpeg")
+            and getattr(lib, "decode_jpeg_info", None) is not None
+            and getattr(lib.decode_jpeg_info, "argtypes", None)):
+        return None
+    w = ctypes.c_int32(0)
+    h = ctypes.c_int32(0)
+    ch = ctypes.c_int32(0)
+    if lib.decode_jpeg_info(data, len(data), ctypes.byref(w),
+                            ctypes.byref(h), ctypes.byref(ch)) != 0 \
+            or ch.value not in (1, 3):
+        return None
+    need = h.value * w.value * ch.value
+    out = np.empty(need, dtype=np.uint8)
+    n = lib.decode_jpeg(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), need)
+    if n != need:
+        return None
+    if ch.value == 1:
+        return out.reshape(h.value, w.value)
+    return out.reshape(h.value, w.value, 3)
+
+
+def _jpeg_cross_check(lib) -> bool:
+    """One-time runtime cross-check of the native decode against PIL.
+
+    The .so links the SYSTEM libjpeg while the Pillow wheel bundles its own
+    libjpeg-turbo; on a host where the two versions' IDCTs differ, decoded
+    pixels could diverge silently and break the packed-cache/CSV
+    bit-identity invariant (CLAUDE.md) when one host packs natively and
+    another reads via PIL (round-4 advisor finding). Decode two small
+    in-memory JPEGs (grayscale + RGB) with both paths at first use and
+    disable the native decode unless they are byte-identical."""
+    try:
+        from PIL import Image
+
+        rs = np.random.RandomState(0)
+        for shape, mode in (((24, 32), "L"), ((24, 32, 3), "RGB")):
+            img = Image.fromarray(
+                rs.randint(0, 256, shape).astype(np.uint8), mode=mode)
+            buf = io.BytesIO()
+            img.save(buf, "JPEG", quality=90)
+            data = buf.getvalue()
+            native = _decode_jpeg_native(lib, data)
+            if native is None:
+                return False
+            pil = np.asarray(Image.open(io.BytesIO(data)).convert(mode))
+            if native.shape != pil.shape or not np.array_equal(native, pil):
+                return False
+        return True
+    except Exception:
+        return False
+
 
 def load_image(path: Path | str):
     """Open an image for the input pipeline: native libjpeg decode when the
@@ -110,28 +177,21 @@ def load_image(path: Path | str):
     whole one-off pack cost, docs/PERF.md), PIL otherwise. Returns a
     ``PIL.Image`` either way — the transform chain keeps PIL's LANCZOS
     resize semantics (reference: src/data.py:42, 278-299); pixels are
-    bit-identical between the two decoders (JDCT_ISLOW, tested)."""
+    bit-identical between the two decoders (JDCT_ISLOW), enforced at first
+    use by :func:`_jpeg_cross_check` (native decode self-disables on any
+    libjpeg-version divergence)."""
     from PIL import Image
 
+    global _JPEG_VERIFIED
     with open(path, "rb") as f:
         data = f.read()
     lib = _load_native()
     if lib and hasattr(lib, "decode_jpeg") and data[:3] == _JPEG_MAGIC:
-        w = ctypes.c_int32(0)
-        h = ctypes.c_int32(0)
-        ch = ctypes.c_int32(0)
-        if lib.decode_jpeg_info(data, len(data), ctypes.byref(w),
-                                ctypes.byref(h), ctypes.byref(ch)) == 0 \
-                and ch.value in (1, 3):
-            need = h.value * w.value * ch.value
-            out = np.empty(need, dtype=np.uint8)
-            n = lib.decode_jpeg(
-                data, len(data),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), need)
-            if n == need:
-                if ch.value == 1:
-                    arr = out.reshape(h.value, w.value)
-                    return Image.fromarray(arr, mode="L")
-                arr = out.reshape(h.value, w.value, 3)
-                return Image.fromarray(arr, mode="RGB")
+        if _JPEG_VERIFIED is None:
+            _JPEG_VERIFIED = _jpeg_cross_check(lib)
+        if _JPEG_VERIFIED:
+            arr = _decode_jpeg_native(lib, data)
+            if arr is not None:
+                return Image.fromarray(
+                    arr, mode="L" if arr.ndim == 2 else "RGB")
     return Image.open(io.BytesIO(data))

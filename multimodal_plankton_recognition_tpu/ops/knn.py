@@ -137,7 +137,11 @@ class ANNClassifier:
             from ..parallel import knn as pknn
             from ..parallel.mesh import create_mesh
             self._mesh = mesh if mesh is not None else create_mesh()
-            self._gallery = pknn.shard_gallery(X, self._mesh)
+            # X already carries SHAPE_BUCKET sentinel pad rows — pass the
+            # true row count so ShardedGallery.n_real (and its k guard)
+            # reflects the real gallery, not the bucket-padded one
+            self._gallery = pknn.shard_gallery(X, self._mesh,
+                                               n_real=self._n_gallery)
         else:
             self._gallery = jnp.asarray(X)
 

@@ -78,15 +78,23 @@ class ShardedGallery(NamedTuple):
     n_real: int
 
 
-def shard_gallery(gallery: np.ndarray, mesh: Mesh) -> ShardedGallery:
+def shard_gallery(gallery: np.ndarray, mesh: Mesh,
+                  n_real: Optional[int] = None) -> ShardedGallery:
     """Pad gallery rows to the data-axis size and place them row-sharded.
 
     The returned :class:`ShardedGallery` can be passed to
     :func:`sharded_topk_euclidean` repeatedly without re-transfer.
+    Pass ``n_real`` when ``gallery`` ALREADY carries sentinel pad rows
+    (e.g. ANNClassifier's SHAPE_BUCKET padding) so the k-vs-gallery-size
+    guard validates against the true row count, not the padded one
+    (round-4 advisor finding).
     """
     ndev = mesh.shape[DATA_AXIS]
-    n_real = gallery.shape[0]
-    pad = (-n_real) % ndev
+    if n_real is None:
+        n_real = gallery.shape[0]
+    # pad from the ACTUAL array length (it may already carry caller pad
+    # rows beyond n_real) so the sharded dim divides the data axis
+    pad = (-gallery.shape[0]) % ndev
     if pad:
         gallery = np.concatenate([
             np.asarray(gallery, np.float32),
