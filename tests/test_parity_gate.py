@@ -177,6 +177,7 @@ def run_parity_protocol(workdir: Path, protocol: str = "resnet_cnn_clip",
                 for r in runs.values()]
         acc[setup] = float(np.mean(vals))
     acc["final_train_loss"] = float(result["history"][-1]["train_loss"])
+    acc["first_train_loss"] = float(result["history"][0]["train_loss"])
     return acc
 
 
@@ -205,3 +206,45 @@ def test_parity_bands(tmp_path, protocol):
     assert acc["P - P"] > acc["I - P"] + 0.05, (
         f"cross-modal pattern violated for {protocol}: "
         f"P-P {acc['P - P']:.4f} !>> I-P {acc['I - P']:.4f}")
+
+
+@pytest.mark.slow
+def test_rbg_default_path_smoke(tmp_path):
+    """Band-free smoke gate for the SHIPPED default PRNG path (VERDICT r4
+    #7): the drivers/bench default to rbg (use_fast_prng) while every
+    banded protocol pins threefry (rbg streams are not version-stable —
+    CLAUDE.md), so without this test no end-to-end gate ever runs the
+    configuration users actually get. Runs the resnet_cnn_clip protocol in
+    a subprocess with PLANKTON_PRNG=rbg (subprocess so the process-global
+    jax_default_prng_impl switch cannot leak into the threefry-pinned
+    suite) and asserts only the version-stable qualitative pattern:
+    training converges and same-modal retrieval beats cross-modal transfer
+    (reference: experiments.ipynb cell 22 pattern)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parents[1]
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import json, pathlib, sys\n"
+        f"sys.path.insert(0, {str(repo)!r})\n"
+        f"sys.path.insert(0, {str(repo / 'tests')!r})\n"
+        "from test_parity_gate import run_parity_protocol\n"
+        f"acc = run_parity_protocol(pathlib.Path({str(tmp_path)!r}),"
+        " 'resnet_cnn_clip')\n"
+        "print('ACC=' + json.dumps(acc))\n"
+    )
+    env = dict(os.environ, PLANKTON_PRNG="rbg")
+    env.pop("XLA_FLAGS", None)  # single CPU device is enough (and faster)
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("ACC=")]
+    assert line, proc.stdout[-2000:]
+    acc = json.loads(line[0][4:])
+    assert acc["final_train_loss"] < acc["first_train_loss"], acc
+    assert np.isfinite(acc["final_train_loss"]), acc
+    assert acc["P - P"] > acc["I - P"] + 0.05, (
+        f"cross-modal pattern violated under rbg: {acc}")
