@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.pallas.attention import mha_core
+from ..ops.pallas.attention import mha_core, mha_core_qkv
 
 
 class _PackedProj(nn.Module):
@@ -79,6 +79,16 @@ class _PackedOut(nn.Module):
             + bias.astype(self.dtype)
 
 
+def _qkv_packed_enabled() -> bool:
+    """Packed-QKV path (ops/pallas/attention.mha_core_qkv): the three
+    projections run as one (B·L, E_in)x(E_in, 3E) GEMM and the kernel takes
+    ONE (B, L, 3E) operand. PLANKTON_ATTN_QKV_PACKED=0/1 overrides for
+    probes; default set by the round-5 hardware measurement
+    (docs/PERF.md r5)."""
+    import os
+    return os.environ.get("PLANKTON_ATTN_QKV_PACKED", "0") == "1"
+
+
 def _stacked_softmax_enabled() -> bool:
     """Stacked-softmax attention kernel (one (H*L8, L) softmax/dropout
     pass per sample instead of H per-head VPU chains — see mha_core).
@@ -100,7 +110,7 @@ class FusedSelfAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     #: run the QKV/out projections INSIDE the kernel (one fused block,
-    #: ops/pallas/attention_block.py) — deletes the XLA<->Pallas layout
+    #: ops/pallas/experimental/attention_block.py) — deletes the XLA<->Pallas layout
     #: bridges around q/k/v/o. MEASURED NEGATIVE on the ViT flagship
     #: (63.9 vs 57.6 ms/step, docs/PERF.md r4): XLA's batched (B*L, E)
     #: projection GEMMs beat the kernel's per-sample dots by more than the
@@ -141,7 +151,7 @@ class FusedSelfAttention(nn.Module):
             interpret = jax.default_backend() != "tpu"
 
         if kernel_ok and self._fuse_proj_enabled():
-            from ..ops.pallas.attention_block import attn_block
+            from ..ops.pallas.experimental.attention_block import attn_block
             wq, bq = _PackedProj(h, d, self.dtype, name="query")(
                 x, apply=False)
             wk, bk = _PackedProj(h, d, self.dtype, name="key")(
@@ -153,6 +163,24 @@ class FusedSelfAttention(nn.Module):
             return attn_block(x, wq, bq, wk, bk, wv, bv, wo, bo, bias,
                               seed, h, self.dropout_rate, train, interpret,
                               mask_rows is not None)
+
+        if kernel_ok and _stacked_softmax_enabled() and _qkv_packed_enabled():
+            # one (B·L, E_in)x(E_in, 3E) projection GEMM + ONE kernel
+            # operand: 3x the GEMM N-width at these narrow dims and a
+            # single XLA<->Pallas layout bridge each way (VERDICT r4 #2;
+            # same params/tree — the packed weight is a concat view)
+            wq, bq = _PackedProj(h, d, self.dtype, name="query")(
+                x, apply=False)
+            wk, bk = _PackedProj(h, d, self.dtype, name="key")(
+                x, apply=False)
+            wv, bv = _PackedProj(h, d, self.dtype, name="value")(
+                x, apply=False)
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            bqkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            qkv = x @ w + bqkv
+            o = mha_core_qkv(qkv, bias, seed, h, self.dropout_rate, train,
+                             interpret, mask_rows is not None)
+            return _PackedOut(h, d, e, self.dtype, name="out")(o)
 
         q = _PackedProj(h, d, self.dtype, name="query")(x)
         k = _PackedProj(h, d, self.dtype, name="key")(x)

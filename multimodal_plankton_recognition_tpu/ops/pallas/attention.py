@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mha_core", "mha_reference"]
+__all__ = ["mha_core", "mha_core_qkv", "mha_reference"]
 
 
 def _head_mask(h: int, heads: int, e: int):
@@ -148,7 +148,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
             dv = jnp.zeros((l, e), jnp.float32)
         # bias enters every head's pre-softmax scores: d bias[key] =
         # sum over heads and query rows of dz (2-D axis-0 keepdims sum —
-        # the Mosaic-safe reduction pattern, see ops/pallas/mbconv.py)
+        # the Mosaic-safe reduction pattern, see ops/pallas/experimental/mbconv.py)
         db = jnp.zeros((1, l), jnp.float32)
         dq_parts, dk_parts, dv_parts = [], [], []
         for h in range(heads):
@@ -334,6 +334,126 @@ def _bwd_kernel_stacked(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
         db_ref[i] = db
 
 
+def _fwd_kernel_stacked_qkv(qkv_ref, bias_ref, seed_ref, o_ref, z_scratch,
+                            *, heads: int, dropout_p: float, train: bool,
+                            block_b: int, has_bias: bool = True):
+    """_fwd_kernel_stacked on ONE packed (bb, L, 3E) operand (q|k|v along
+    lanes): the module computes q/k/v as a single (B·L, E_in)x(E_in, 3E)
+    GEMM — one MXU call at 3x the N width (E=192 is narrow for the 128-wide
+    array) and ONE XLA<->Pallas layout bridge instead of three (VERDICT r4
+    #2 lever). In-kernel head extraction is unchanged: static lane slices
+    at offset g*E + h*D."""
+    base = pl.program_id(0) * block_b
+    l8 = z_scratch.shape[0] // heads
+    for i in range(block_b):
+        qkv = qkv_ref[i]                                 # (L, 3E)
+        l, e3 = qkv.shape
+        e = e3 // 3
+        d = e // heads
+        scale = 1.0 / (d ** 0.5)
+        bias = bias_ref[i]                               # (1, L)
+        use_drop = train and dropout_p > 0.0
+
+        for h in range(heads):
+            qh = qkv[:, h * d:(h + 1) * d]
+            kh = qkv[:, e + h * d:e + (h + 1) * d]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            z_scratch[h * l8:h * l8 + l, :] = \
+                s * scale + bias if has_bias else s * scale
+        z = z_scratch[...]                               # (H*L8, L)
+        m = jnp.max(z, axis=1, keepdims=True)
+        p = jnp.exp(z - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        if use_drop:
+            pltpu.prng_seed(seed_ref[0, 0] + base + i)
+            keep = (_uniform(p.shape) >= dropout_p).astype(jnp.float32)
+            p = p * keep * (1.0 / (1.0 - dropout_p))
+        p = p.astype(qkv.dtype)
+        parts = []
+        for h in range(heads):
+            vh = qkv[:, 2 * e + h * d:2 * e + (h + 1) * d]
+            parts.append(jax.lax.dot_general(
+                p[h * l8:h * l8 + l, :], vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        o_ref[i] = jnp.concatenate(parts, axis=1).astype(o_ref.dtype)
+
+
+def _bwd_kernel_stacked_qkv(qkv_ref, bias_ref, seed_ref, do_ref,
+                            dqkv_ref, db_ref, z_scratch, dp_scratch,
+                            *, heads: int, dropout_p: float, train: bool,
+                            block_b: int, has_bias: bool = True):
+    """Backward of _fwd_kernel_stacked_qkv: identical math to
+    _bwd_kernel_stacked, with the three cotangents emitted as ONE packed
+    (bb, L, 3E) dqkv — one bridge out, feeding the single packed-GEMM
+    transpose in the module."""
+    base = pl.program_id(0) * block_b
+    l8 = z_scratch.shape[0] // heads
+    for i in range(block_b):
+        qkv = qkv_ref[i]
+        do = do_ref[i]
+        l, e3 = qkv.shape
+        e = e3 // 3
+        d = e // heads
+        scale = 1.0 / (d ** 0.5)
+        bias = bias_ref[i]
+        use_drop = train and dropout_p > 0.0
+
+        for h in range(heads):
+            qh = qkv[:, h * d:(h + 1) * d]
+            kh = qkv[:, e + h * d:e + (h + 1) * d]
+            vh = qkv[:, 2 * e + h * d:2 * e + (h + 1) * d]
+            do_h = do[:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            z_scratch[h * l8:h * l8 + l, :] = \
+                s * scale + bias if has_bias else s * scale
+            dp_scratch[h * l8:h * l8 + l, :] = jax.lax.dot_general(
+                do_h, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        z = z_scratch[...]
+        m = jnp.max(z, axis=1, keepdims=True)
+        p = jnp.exp(z - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        dpd = dp_scratch[...]
+        if use_drop:
+            pltpu.prng_seed(seed_ref[0, 0] + base + i)
+            keep = (_uniform(p.shape) >= dropout_p).astype(jnp.float32)
+            inv = 1.0 / (1.0 - dropout_p)
+            pd = p * keep * inv
+            dp = dpd * keep * inv
+        else:
+            pd = p
+            dp = dpd
+        dz = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        ds_all = (dz * scale).astype(qkv.dtype)
+        pd = pd.astype(do.dtype)
+
+        db = jnp.zeros((1, l), jnp.float32)
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(heads):
+            qh = qkv[:, h * d:(h + 1) * d]
+            kh = qkv[:, e + h * d:e + (h + 1) * d]
+            do_h = do[:, h * d:(h + 1) * d]
+            ds = ds_all[h * l8:h * l8 + l, :]
+            pd_h = pd[h * l8:h * l8 + l, :]
+            if has_bias:
+                db = db + jnp.sum(dz[h * l8:h * l8 + l, :], axis=0,
+                                  keepdims=True)
+            dq_parts.append(jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dk_parts.append(jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dv_parts.append(jax.lax.dot_general(
+                pd_h, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dqkv_ref[i] = jnp.concatenate(
+            dq_parts + dk_parts + dv_parts, axis=1).astype(dqkv_ref.dtype)
+        db_ref[i] = db
+
+
 def _pick_block_b(b: int, limit: int = 4) -> int:
     """Largest power-of-two divisor of ``b`` up to ``limit`` (VMEM budget:
     ~10 (block_b, L, E) blocks double-buffered ≈ 1.7·block_b MB at L=225,
@@ -462,6 +582,87 @@ def _mha_bwd(heads, dropout_p, train, interpret, narrow, has_bias, stacked,
 
 
 mha_core.defvjp(_mha_fwd, _mha_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def mha_core_qkv(qkv, bias_rows, seed,
+                 heads: int, dropout_p: float = 0.0, train: bool = False,
+                 interpret: bool = False, has_bias: bool = True):
+    """Stacked-softmax attention on ONE packed (B, L, 3E) operand.
+
+    Same math and dropout streams as ``mha_core(..., stacked=True)`` with
+    q|k|v concatenated along lanes — the module computes the three
+    projections as a single (B·L, E_in)x(E_in, 3E) GEMM, so XLA sees one
+    MXU call (3x the N width at these narrow dims) and ONE layout bridge
+    into / out of the kernel instead of three each way (VERDICT r4 #2).
+    Returns (B, L, E). Backward emits a packed (B, L, 3E) dqkv feeding the
+    packed GEMM's transpose directly."""
+    return _mha_qkv_fwd(qkv, bias_rows, seed, heads, dropout_p, train,
+                        interpret, has_bias)[0]
+
+
+def _mha_qkv_fwd(qkv, bias_rows, seed, heads, dropout_p, train, interpret,
+                 has_bias=True):
+    b, l, e3 = qkv.shape
+    e = e3 // 3
+    bb = _pick_block_b(b)
+    _, bias_spec, seed_spec = _specs(l, e, bb)
+    packed = pl.BlockSpec((bb, l, e3), lambda g: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    emb = pl.BlockSpec((bb, l, e), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fwd_kernel_stacked_qkv, heads=heads,
+                               dropout_p=dropout_p, train=train,
+                               block_b=bb, has_bias=has_bias)
+    o = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[packed, bias_spec, seed_spec],
+        out_specs=emb,
+        out_shape=jax.ShapeDtypeStruct((b, l, e), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((heads * _rup8(l), l), jnp.float32)],
+        interpret=interpret,
+    )(qkv, jnp.asarray(bias_rows, jnp.float32).reshape(b, 1, l),
+      jnp.asarray(seed, jnp.int32).reshape(1, 1))
+    return o, (qkv, bias_rows, seed)
+
+
+def _mha_qkv_bwd(heads, dropout_p, train, interpret, has_bias,
+                 residuals, g):
+    qkv, bias_rows, seed = residuals
+    b, l, e3 = qkv.shape
+    e = e3 // 3
+    bb = _pick_block_b(b)
+    _, bias_spec, seed_spec = _specs(l, e, bb)
+    packed = pl.BlockSpec((bb, l, e3), lambda gi: (gi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    emb = pl.BlockSpec((bb, l, e), lambda gi: (gi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    kernel = functools.partial(_bwd_kernel_stacked_qkv, heads=heads,
+                               dropout_p=dropout_p, train=train,
+                               block_b=bb, has_bias=has_bias)
+    dqkv, db = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[packed, bias_spec, seed_spec, emb],
+        out_specs=(packed, bias_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l, e3), qkv.dtype),
+            jax.ShapeDtypeStruct((b, 1, l), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((heads * _rup8(l), l), jnp.float32),
+                        pltpu.VMEM((heads * _rup8(l), l), jnp.float32)],
+        interpret=interpret,
+    )(qkv, jnp.asarray(bias_rows, jnp.float32).reshape(b, 1, l),
+      jnp.asarray(seed, jnp.int32).reshape(1, 1),
+      g.astype(qkv.dtype))
+    import numpy as np
+    dseed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    db = db.reshape(jnp.shape(bias_rows)).astype(jnp.result_type(bias_rows))
+    return dqkv, db, dseed
+
+
+mha_core_qkv.defvjp(_mha_qkv_fwd, _mha_qkv_bwd)
 
 
 def mha_reference(q, k, v, bias_rows, heads: int):
