@@ -82,11 +82,11 @@ class _PackedOut(nn.Module):
 def _qkv_packed_enabled() -> bool:
     """Packed-QKV path (ops/pallas/attention.mha_core_qkv): the three
     projections run as one (B·L, E_in)x(E_in, 3E) GEMM and the kernel takes
-    ONE (B, L, 3E) operand. PLANKTON_ATTN_QKV_PACKED=0/1 overrides for
-    probes; default set by the round-5 hardware measurement
-    (docs/PERF.md r5)."""
+    ONE (B, L, 3E) operand. Default ON: measured 50.15 vs 53.53 ms/step on
+    the ViT flagship (+6.7% pairs/s, docs/PERF.md r5).
+    PLANKTON_ATTN_QKV_PACKED=0/1 overrides for probes."""
     import os
-    return os.environ.get("PLANKTON_ATTN_QKV_PACKED", "0") == "1"
+    return os.environ.get("PLANKTON_ATTN_QKV_PACKED", "1") == "1"
 
 
 def _stacked_softmax_enabled() -> bool:
