@@ -282,6 +282,57 @@ def _probe_backend_bounded() -> None:
                 f"{' '.join(tail)}")
 
 
+def _main_bounded() -> None:
+    """Run main() inside a watchdog SUBPROCESS.
+
+    The init probe above cannot catch the round-5-observed failure mode:
+    the tunnel degrades AFTER a healthy backend init and the first compile
+    or dispatch hangs silently (25+ min with no output, no exception). The
+    child inherits stdout (the JSON line passes through); on a hang the
+    parent kills the child's process group and raises a transient error so
+    the retry loop recovers. Child exit code 42 = the child itself hit a
+    transient backend error (counts as transient here); any other nonzero
+    exit is a real failure and propagates. Tunable via
+    PLANKTON_BENCH_MAIN_TIMEOUT_S (default 2700 — a cold two-flagship
+    measurement through the tunnel is ~10-20 min)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    if os.environ.get("PLANKTON_BENCH_CHILD") == "1":
+        try:
+            main()
+        except Exception as e:
+            if _is_transient(e):
+                import traceback
+
+                traceback.print_exc()
+                raise SystemExit(42)
+            raise
+        return
+    timeout = int(os.environ.get("PLANKTON_BENCH_MAIN_TIMEOUT_S", "2700"))
+    env = dict(os.environ, PLANKTON_BENCH_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+        env=env, start_new_session=True)
+    try:
+        rc = proc.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+        raise _BackendUnavailable(
+            f"unavailable: benchmark child still hung after {timeout}s "
+            "(tunnel degraded after init)")
+    if rc == 42:
+        raise _BackendUnavailable(
+            "unavailable: benchmark child hit a transient backend error "
+            "(traceback on stderr)")
+    if rc != 0:
+        raise RuntimeError(f"benchmark child failed (rc={rc}, traceback "
+                           "on stderr)")
+
+
 def _main_with_retry(attempts: int = None, wait_s: int = None) -> None:
     """The driver runs bench.py unattended at round end; the remote-TPU
     tunnel occasionally drops (for hours, CLAUDE.md) and JAX then raises
@@ -297,8 +348,11 @@ def _main_with_retry(attempts: int = None, wait_s: int = None) -> None:
     wait_s = wait_s or int(os.environ.get("PLANKTON_BENCH_WAIT_S", "120"))
     attempt = int(os.environ.get("PLANKTON_BENCH_ATTEMPT", "0"))
     try:
+        if os.environ.get("PLANKTON_BENCH_CHILD") == "1":
+            _main_bounded()  # child mode: run main() directly
+            return
         _probe_backend_bounded()
-        main()
+        _main_bounded()
     except Exception as e:
         if _is_transient(e) and attempt + 1 >= attempts:
             # retries exhausted on a tunnel outage: emit a machine-readable
