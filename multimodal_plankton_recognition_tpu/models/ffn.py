@@ -35,6 +35,45 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+def remat_mlp_enabled() -> bool:
+    """Recompute the FFN's elementwise tail (activation + dropout mask) in
+    backward instead of saving it (apply_remat_ffn). Probe knob
+    PLANKTON_REMAT_MLP=0/1; default set by the round-5 hardware
+    measurement (docs/PERF.md r5)."""
+    import os
+
+    return os.environ.get("PLANKTON_REMAT_MLP", "0") == "1"
+
+
+def apply_remat_ffn(mod: nn.Module, x: jnp.ndarray,
+                    k1, b1, k2, b2, activation: str,
+                    dropout_p: float, deterministic: bool,
+                    dtype) -> jnp.ndarray:
+    """Dense -> act -> dropout -> Dense with the elementwise tail
+    RECOMPUTED in backward (``jax.checkpoint`` policy = save dot outputs):
+    the (B, L, F) activation and dropout-mask tensors never round-trip HBM
+    between forward and backward — backward replays act+mask from the
+    saved first-dot output and the rng key (cheap under the rbg PRNG).
+    The third VERDICT-r4 #2 lever ("dropout-mask recompute in backward");
+    same math and param tree as the nn.Dense composition."""
+    train = not deterministic and dropout_p > 0.0
+    key = mod.make_rng("dropout") if train else jax.random.key(0)
+
+    def fn(x, k1, b1, k2, b2, key):
+        h = jnp.dot(x.astype(dtype), jnp.asarray(k1, dtype)) \
+            + jnp.asarray(b1, dtype)
+        h = _act(h.astype(jnp.float32), activation).astype(dtype)
+        if train:
+            keep = jax.random.bernoulli(key, 1.0 - dropout_p, h.shape)
+            h = jnp.where(keep, h / (1.0 - dropout_p), 0).astype(dtype)
+        return (jnp.dot(h, jnp.asarray(k2, dtype))
+                + jnp.asarray(b2, dtype)).astype(dtype)
+
+    fn_ckpt = jax.checkpoint(
+        fn, policy=jax.checkpoint_policies.checkpoint_dots)
+    return fn_ckpt(x, k1, b1, k2, b2, key)
+
+
 def apply_fused_ffn(mod: nn.Module, x: jnp.ndarray,
                     k1, b1, k2, b2, activation: str,
                     dropout_p: float, deterministic: bool,

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..attention import FusedSelfAttention
-from ..ffn import DenseParams, apply_fused_ffn
+from ..ffn import (DenseParams, apply_fused_ffn, apply_remat_ffn,
+                   remat_mlp_enabled)
 
 
 class _Block(nn.Module):
@@ -52,6 +53,11 @@ class _Block(nn.Module):
             k1, b1 = DenseParams(hidden, name="mlp1")(self.dim)
             k2, b2 = DenseParams(self.dim, name="mlp2")(hidden)
             h = apply_fused_ffn(self, h, k1, b1, k2, b2, "gelu",
+                                self.dropout, deterministic, self.dtype)
+        elif remat_mlp_enabled():
+            k1, b1 = DenseParams(hidden, name="mlp1")(self.dim)
+            k2, b2 = DenseParams(self.dim, name="mlp2")(hidden)
+            h = apply_remat_ffn(self, h, k1, b1, k2, b2, "gelu",
                                 self.dropout, deterministic, self.dtype)
         else:
             h = nn.Dense(hidden, dtype=self.dtype, name="mlp1")(h)

@@ -26,7 +26,8 @@ import flax.linen as nn
 
 from ...data.tokenize import tokenize_transformer
 from ..attention import FusedSelfAttention
-from ..ffn import DenseParams, apply_fused_ffn
+from ..ffn import (DenseParams, apply_fused_ffn, apply_remat_ffn,
+                   remat_mlp_enabled)
 
 
 class _EncoderLayer(nn.Module):
@@ -75,6 +76,13 @@ class _EncoderLayer(nn.Module):
             k2, b2 = DenseParams(self.dim_hidden,
                                  name="ff2")(self.dim_feedforward)
             h = apply_fused_ffn(self, x, k1, b1, k2, b2, self.activation,
+                                self.dropout, deterministic, self.dtype)
+        elif remat_mlp_enabled():
+            k1, b1 = DenseParams(self.dim_feedforward,
+                                 name="ff1")(self.dim_hidden)
+            k2, b2 = DenseParams(self.dim_hidden,
+                                 name="ff2")(self.dim_feedforward)
+            h = apply_remat_ffn(self, x, k1, b1, k2, b2, self.activation,
                                 self.dropout, deterministic, self.dtype)
         else:
             act = {"gelu": nn.gelu, "relu": nn.relu}[self.activation]
