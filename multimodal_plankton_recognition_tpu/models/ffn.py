@@ -38,8 +38,11 @@ class DenseParams(nn.Module):
 def remat_mlp_enabled() -> bool:
     """Recompute the FFN's elementwise tail (activation + dropout mask) in
     backward instead of saving it (apply_remat_ffn). Probe knob
-    PLANKTON_REMAT_MLP=0/1; default set by the round-5 hardware
-    measurement (docs/PERF.md r5)."""
+    PLANKTON_REMAT_MLP=0/1. MEASURED NEGATIVE on the ViT flagship
+    (v5e, bs 256: 50.31 -> 53.90 ms/step, docs/PERF.md r5) — the step is
+    MXU-bound at these widths, so replaying the elementwise tail costs
+    more than the saved (B, L, F) HBM round-trip. Default stays OFF;
+    the knob remains for probing other shapes."""
     import os
 
     return os.environ.get("PLANKTON_REMAT_MLP", "0") == "1"
