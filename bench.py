@@ -316,10 +316,30 @@ def _main_bounded() -> None:
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
         env=env, start_new_session=True)
+
+    def _kill_child_group() -> None:
+        # The child may exit between the timeout firing and killpg —
+        # don't let that race turn recovery into ProcessLookupError.
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+
+    def _forward_signal(signum, frame):
+        # start_new_session detaches the child from our group; without
+        # forwarding, killing bench.py would orphan a TPU-holding child
+        # for up to the watchdog timeout (and it could later interleave
+        # its JSON line with a re-launched run's output).
+        _kill_child_group()
+        signal.signal(signum, signal.SIG_DFL)
+        os.kill(os.getpid(), signum)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        signal.signal(_sig, _forward_signal)
     try:
         rc = proc.wait(timeout=timeout)
     except subprocess.TimeoutExpired:
-        os.killpg(proc.pid, signal.SIGKILL)
+        _kill_child_group()
         proc.wait()
         raise _BackendUnavailable(
             f"unavailable: benchmark child still hung after {timeout}s "

@@ -150,31 +150,32 @@ class FusedSelfAttention(nn.Module):
                 seed = jnp.zeros((), jnp.int32)
             interpret = jax.default_backend() != "tpu"
 
-        if kernel_ok and self._fuse_proj_enabled():
-            from ..ops.pallas.experimental.attention_block import attn_block
+        fuse_block = kernel_ok and self._fuse_proj_enabled()
+        qkv_packed = (kernel_ok and not fuse_block
+                      and _stacked_softmax_enabled() and _qkv_packed_enabled())
+        if fuse_block or qkv_packed:
+            # both kernel branches consume raw projection weights (same
+            # param tree as the applied path — _PackedProj(apply=False))
             wq, bq = _PackedProj(h, d, self.dtype, name="query")(
                 x, apply=False)
             wk, bk = _PackedProj(h, d, self.dtype, name="key")(
                 x, apply=False)
             wv, bv = _PackedProj(h, d, self.dtype, name="value")(
                 x, apply=False)
+
+        if fuse_block:
+            from ..ops.pallas.experimental.attention_block import attn_block
             wo, bo = _PackedOut(h, d, e, self.dtype, name="out")(
                 x, apply=False)
             return attn_block(x, wq, bq, wk, bk, wv, bv, wo, bo, bias,
                               seed, h, self.dropout_rate, train, interpret,
                               mask_rows is not None)
 
-        if kernel_ok and _stacked_softmax_enabled() and _qkv_packed_enabled():
+        if qkv_packed:
             # one (B·L, E_in)x(E_in, 3E) projection GEMM + ONE kernel
             # operand: 3x the GEMM N-width at these narrow dims and a
             # single XLA<->Pallas layout bridge each way (VERDICT r4 #2;
             # same params/tree — the packed weight is a concat view)
-            wq, bq = _PackedProj(h, d, self.dtype, name="query")(
-                x, apply=False)
-            wk, bk = _PackedProj(h, d, self.dtype, name="key")(
-                x, apply=False)
-            wv, bv = _PackedProj(h, d, self.dtype, name="value")(
-                x, apply=False)
             w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
             bqkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
             qkv = x @ w + bqkv

@@ -83,8 +83,11 @@ def apply_fused_ffn(mod: nn.Module, x: jnp.ndarray,
                     dtype) -> jnp.ndarray:
     """Dense -> act -> dropout -> Dense over (B, L, E); ``mod`` supplies the
     dropout rng stream (make_rng) on the fallback/seed paths."""
+    from ..ops.kernels import kernels_disabled
+
     train = not deterministic and dropout_p > 0.0
-    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+    if (not kernels_disabled()
+            and jax.default_backend() == "tpu" and jax.device_count() == 1):
         if train:
             seed = jax.random.randint(mod.make_rng("dropout"), (),
                                       0, jnp.iinfo(jnp.int32).max)

@@ -218,6 +218,16 @@ def main():
                                    else FLAGSHIP_CARDS)}
         raw_n, raw_k, cross_n, cross_k, repeats, th = 256, 9, 16, 3, 10, 20
 
+    # Validate up front: folds beyond the split count would otherwise train
+    # the earlier folds for hours and die on fold{N}/train.csv at the end.
+    if args.folds > args.n_folds:
+        if args.dry_run:
+            args.folds = args.n_folds  # dry-run forces n_folds=2 above
+        else:
+            ap.error(f"--folds {args.folds} exceeds --n-folds {args.n_folds}")
+    if args.folds < 1:
+        ap.error("--folds must be >= 1")
+
     data = _ensure_dataset(args)
     folds = list(range(1, args.folds + 1))
 

@@ -41,6 +41,20 @@ def test_expected_tables_match_baseline_md():
     assert set(pr.FLAGSHIP_CARDS) <= set(pr.ALL_CARDS)
 
 
+def test_folds_validated_before_training(monkeypatch):
+    # --folds beyond --n-folds must die at argument time (parser error,
+    # SystemExit 2), not hours later on fold{N}/train.csv — round-5 review
+    # finding. --data points nowhere: validation must fire before any IO.
+    import pytest
+
+    pr = _load()
+    monkeypatch.setattr(sys, "argv", ["parity_real.py", "--data",
+                                      "/nonexistent", "--folds", "6"])
+    with pytest.raises(SystemExit) as e:
+        pr.main()
+    assert e.value.code == 2
+
+
 def test_diff_tolerance_classification():
     pr = _load()
     failures = []
