@@ -33,7 +33,9 @@ dropout with 1/(1-p) scaling); matmuls run in the input dtype with f32
 accumulation (full MXU rate for the bf16 cards the module gates the kernel
 to — an f32 upcast would quarter it) and softmax runs in f32 (flax runs it
 in the module dtype — a strict precision improvement, covered by the parity
-tests' tolerances). Dropout uses the kernel PRNG, so masks
+tests' tolerances). ``PLANKTON_SOFTMAX_BF16=1`` narrows the stacked
+kernels' softmax chain + scratch round-trips to bf16 (probe lever, see
+``_softmax_dtype``; measured outcome in docs/PERF.md r5). Dropout uses the kernel PRNG, so masks
 differ from flax's host-keyed ones — dropout randomness carries no
 reproducibility contract (the reference uses torch's RNG anyway).
 """
@@ -214,6 +216,20 @@ def _rup8(n: int) -> int:
     return ((n + 7) // 8) * 8
 
 
+def _softmax_dtype():
+    """``PLANKTON_SOFTMAX_BF16=1`` runs the stacked kernels' softmax chain
+    — and both (H*L8, L) scratch round-trips — in bf16 instead of f32
+    (VERDICT r4 #2's last named lever, the "bf16 softmax probe"). Scores
+    still ACCUMULATE in f32 on the MXU (preferred_element_type) and only
+    narrow on the scratch store, so the max-subtraction stays exact in the
+    accumulated value; exp/sum/divide then carry bf16's ~3 decimal digits.
+    Probe knob, read at trace time; measured outcome in docs/PERF.md r5."""
+    import os
+    return (jnp.bfloat16
+            if os.environ.get("PLANKTON_SOFTMAX_BF16") == "1"
+            else jnp.float32)
+
+
 def _fwd_kernel_stacked(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
                         z_scratch,
                         *, heads: int, dropout_p: float, train: bool,
@@ -243,14 +259,15 @@ def _fwd_kernel_stacked(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
             s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             z_scratch[h * l8:h * l8 + l, :] = \
-                s * scale + bias if has_bias else s * scale
+                (s * scale + bias if has_bias
+                 else s * scale).astype(z_scratch.dtype)
         z = z_scratch[...]                               # (H*L8, L)
         m = jnp.max(z, axis=1, keepdims=True)
         p = jnp.exp(z - m)
         p = p / jnp.sum(p, axis=1, keepdims=True)
         if use_drop:
             pltpu.prng_seed(seed_ref[0, 0] + base + i)
-            keep = (_uniform(p.shape) >= dropout_p).astype(jnp.float32)
+            keep = (_uniform(p.shape) >= dropout_p).astype(p.dtype)
             p = p * keep * (1.0 / (1.0 - dropout_p))
         p = p.astype(v.dtype)
         parts = []
@@ -287,10 +304,11 @@ def _bwd_kernel_stacked(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
             s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             z_scratch[h * l8:h * l8 + l, :] = \
-                s * scale + bias if has_bias else s * scale
+                (s * scale + bias if has_bias
+                 else s * scale).astype(z_scratch.dtype)
             dp_scratch[h * l8:h * l8 + l, :] = jax.lax.dot_general(
                 do_h, vh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32).astype(dp_scratch.dtype)
         z = z_scratch[...]
         m = jnp.max(z, axis=1, keepdims=True)
         p = jnp.exp(z - m)
@@ -298,7 +316,7 @@ def _bwd_kernel_stacked(q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
         dpd = dp_scratch[...]
         if use_drop:
             pltpu.prng_seed(seed_ref[0, 0] + base + i)
-            keep = (_uniform(p.shape) >= dropout_p).astype(jnp.float32)
+            keep = (_uniform(p.shape) >= dropout_p).astype(p.dtype)
             inv = 1.0 / (1.0 - dropout_p)
             pd = p * keep * inv
             dp = dpd * keep * inv
@@ -360,14 +378,15 @@ def _fwd_kernel_stacked_qkv(qkv_ref, bias_ref, seed_ref, o_ref, z_scratch,
             s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             z_scratch[h * l8:h * l8 + l, :] = \
-                s * scale + bias if has_bias else s * scale
+                (s * scale + bias if has_bias
+                 else s * scale).astype(z_scratch.dtype)
         z = z_scratch[...]                               # (H*L8, L)
         m = jnp.max(z, axis=1, keepdims=True)
         p = jnp.exp(z - m)
         p = p / jnp.sum(p, axis=1, keepdims=True)
         if use_drop:
             pltpu.prng_seed(seed_ref[0, 0] + base + i)
-            keep = (_uniform(p.shape) >= dropout_p).astype(jnp.float32)
+            keep = (_uniform(p.shape) >= dropout_p).astype(p.dtype)
             p = p * keep * (1.0 / (1.0 - dropout_p))
         p = p.astype(qkv.dtype)
         parts = []
@@ -407,10 +426,11 @@ def _bwd_kernel_stacked_qkv(qkv_ref, bias_ref, seed_ref, do_ref,
             s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             z_scratch[h * l8:h * l8 + l, :] = \
-                s * scale + bias if has_bias else s * scale
+                (s * scale + bias if has_bias
+                 else s * scale).astype(z_scratch.dtype)
             dp_scratch[h * l8:h * l8 + l, :] = jax.lax.dot_general(
                 do_h, vh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32).astype(dp_scratch.dtype)
         z = z_scratch[...]
         m = jnp.max(z, axis=1, keepdims=True)
         p = jnp.exp(z - m)
@@ -418,7 +438,7 @@ def _bwd_kernel_stacked_qkv(qkv_ref, bias_ref, seed_ref, do_ref,
         dpd = dp_scratch[...]
         if use_drop:
             pltpu.prng_seed(seed_ref[0, 0] + base + i)
-            keep = (_uniform(p.shape) >= dropout_p).astype(jnp.float32)
+            keep = (_uniform(p.shape) >= dropout_p).astype(p.dtype)
             inv = 1.0 / (1.0 - dropout_p)
             pd = p * keep * inv
             dp = dpd * keep * inv
@@ -520,7 +540,7 @@ def _mha_fwd(q, k, v, bias_rows, seed, heads, dropout_p, train, interpret,
         kernel = functools.partial(_fwd_kernel_stacked, heads=heads,
                                    dropout_p=dropout_p, train=train,
                                    block_b=bb, has_bias=has_bias)
-        scratch = [pltpu.VMEM((heads * _rup8(l), l), jnp.float32)]
+        scratch = [pltpu.VMEM((heads * _rup8(l), l), _softmax_dtype())]
     else:
         kernel = functools.partial(_fwd_kernel, heads=heads,
                                    dropout_p=dropout_p, train=train,
@@ -550,8 +570,8 @@ def _mha_bwd(heads, dropout_p, train, interpret, narrow, has_bias, stacked,
         kernel = functools.partial(_bwd_kernel_stacked, heads=heads,
                                    dropout_p=dropout_p, train=train,
                                    block_b=bb, has_bias=has_bias)
-        scratch = [pltpu.VMEM((heads * _rup8(l), l), jnp.float32),
-                   pltpu.VMEM((heads * _rup8(l), l), jnp.float32)]
+        scratch = [pltpu.VMEM((heads * _rup8(l), l), _softmax_dtype()),
+                   pltpu.VMEM((heads * _rup8(l), l), _softmax_dtype())]
     else:
         kernel = functools.partial(_bwd_kernel, heads=heads,
                                    dropout_p=dropout_p, train=train,
@@ -620,7 +640,7 @@ def _mha_qkv_fwd(qkv, bias_rows, seed, heads, dropout_p, train, interpret,
         in_specs=[packed, bias_spec, seed_spec],
         out_specs=emb,
         out_shape=jax.ShapeDtypeStruct((b, l, e), qkv.dtype),
-        scratch_shapes=[pltpu.VMEM((heads * _rup8(l), l), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((heads * _rup8(l), l), _softmax_dtype())],
         interpret=interpret,
     )(qkv, jnp.asarray(bias_rows, jnp.float32).reshape(b, 1, l),
       jnp.asarray(seed, jnp.int32).reshape(1, 1))
@@ -650,8 +670,8 @@ def _mha_qkv_bwd(heads, dropout_p, train, interpret, has_bias,
             jax.ShapeDtypeStruct((b, l, e3), qkv.dtype),
             jax.ShapeDtypeStruct((b, 1, l), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((heads * _rup8(l), l), jnp.float32),
-                        pltpu.VMEM((heads * _rup8(l), l), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((heads * _rup8(l), l), _softmax_dtype()),
+                        pltpu.VMEM((heads * _rup8(l), l), _softmax_dtype())],
         interpret=interpret,
     )(qkv, jnp.asarray(bias_rows, jnp.float32).reshape(b, 1, l),
       jnp.asarray(seed, jnp.int32).reshape(1, 1),

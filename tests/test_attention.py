@@ -387,3 +387,58 @@ def test_qkv_packed_module_path_matches_unpacked(monkeypatch):
     np.testing.assert_allclose(np.asarray(o0, np.float32),
                                np.asarray(o1, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("heads,l,e", [(3, 197, 192), (8, 225, 192)])
+def test_softmax_bf16_probe_fwd(heads, l, e, monkeypatch):
+    """PLANKTON_SOFTMAX_BF16=1 (VERDICT r4 #2's bf16-softmax lever): the
+    stacked kernels' softmax chain and scratch round-trips run in bf16.
+    Scores still accumulate f32 on the MXU, so the result must stay within
+    bf16's ~2^-8 relative band of the f32 oracle — both the stacked and the
+    packed-QKV variants."""
+    monkeypatch.setenv("PLANKTON_SOFTMAX_BF16", "1")
+    b = 4
+    q, k, v = _rand_qkv(b, l, e)
+    bias, _ = _mask_bias(b, l)
+    seed = jnp.zeros((), jnp.int32)
+    ref = mha_reference(q, k, v, bias, heads)
+    out = mha_core(q, k, v, bias, seed, heads, 0.0, False, True, True,
+                   True, True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.1, atol=0.1)
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    out_p = mha_core_qkv(qkv, bias, seed, heads, 0.0, False, True, True)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_softmax_bf16_probe_grad(monkeypatch):
+    """bf16-softmax backward: all cotangents (incl. the bias grad, whose
+    per-head reduction now sums bf16 dz rows into an f32 accumulator) stay
+    within bf16 tolerance of the f32 oracle; pad rows (l=33 -> L8=40) must
+    still never leak."""
+    monkeypatch.setenv("PLANKTON_SOFTMAX_BF16", "1")
+    heads, l, e, b = 4, 33, 64, 2
+    q, k, v = _rand_qkv(b, l, e, dtype=jnp.float32)
+    bias, _ = _mask_bias(b, l)
+    seed = jnp.zeros((), jnp.int32)
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+
+    def loss_kernel(qkv, bias):
+        o = mha_core_qkv(qkv, bias, seed, heads, 0.0, False, True, True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(qkv, bias):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        o = mha_reference(q, k, v, bias, heads)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(qkv, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    for name, a, b_ in zip(("qkv", "bias"), gk, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=0.1, atol=0.15,
+                                   err_msg=f"grad mismatch for d{name}")
